@@ -4,13 +4,11 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in the library code (dedup_ray never
+owns a Ray session; only bench.py / scripts / the pytest fixture do).
 """
 
 from __future__ import annotations
@@ -20,25 +18,72 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: full near-duplicate
+    detection + clustering over the documents table, returning the
+    assignments verdict table (url, cluster_id, is_canonical, kind)."""
+    from dedup_ray.pipelines.flagship import flagship_assignments
+
+    return flagship_assignments("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from dedup_ray.pipelines import exact_queries as xq
+    from dedup_ray.pipelines import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        # --- dedup exact layer (reference core semantics) ------------
+        "exact_dedup": xq.exact_dedup,
+        "exact_dup_stats": xq.exact_dup_stats,
+        "count_by_lang": xq.count_by_lang,
+        "topk_largest_clusters": xq.topk_largest_clusters,
+        # --- generic relational layer (SURVEY §2B B17-B22) -----------
+        "filter_lineitem": rel.filter_lineitem,
+        "grouped_agg_q1": rel.grouped_agg_q1,
+        "join_orders_customer": rel.join_orders_customer,
+        "sort_limit_orders": rel.sort_limit_orders,
+        "distinct_event_types": rel.distinct_event_types,
+        "scalar_functions": rel.scalar_functions,
+        "customers_without_orders": rel.customers_without_orders,
+        "events_hourly_window": rel.events_hourly_window,
+        "union_shards": rel.union_shards,
+    }
+    try:  # near-dup layer registers once implemented (rows-only checks)
+        from dedup_ray.pipelines import neardup_queries as nq
+
+        q.update(nq.QUERIES)
+    except ImportError:
+        pass
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (ANSI; tables pre-registered as
+    views).  Near-dup / sketch ops are intentionally absent → the
+    driver records the weaker rows-only check for them."""
+    from dedup_ray.pipelines import exact_queries as xq
+    from dedup_ray.pipelines import relational as rel
+
+    sql = {
+        "exact_dedup": xq.EXACT_DEDUP_SQL,
+        "exact_dup_stats": xq.EXACT_DUP_STATS_SQL,
+        "count_by_lang": xq.COUNT_BY_LANG_SQL,
+        "topk_largest_clusters": xq.TOPK_LARGEST_CLUSTERS_SQL,
+        "filter_lineitem": "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate "
+        "FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity < 24",
+        "grouped_agg_q1": rel.GROUPED_AGG_Q1_SQL,
+        "join_orders_customer": rel.JOIN_ORDERS_CUSTOMER_SQL,
+        "sort_limit_orders": rel.SORT_LIMIT_ORDERS_SQL,
+        "distinct_event_types": rel.DISTINCT_EVENT_TYPES_SQL,
+        "scalar_functions": rel.SCALAR_FUNCTIONS_SQL,
+        "customers_without_orders": rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "events_hourly_window": rel.EVENTS_HOURLY_WINDOW_SQL,
+        "union_shards": rel.UNION_SHARDS_SQL,
+    }
+    try:
+        from dedup_ray.pipelines import neardup_queries as nq
+
+        sql.update(nq.ORACLE_SQL)
+    except ImportError:
+        pass
+    return sql

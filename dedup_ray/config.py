@@ -1,0 +1,107 @@
+"""DedupConfig — the single knob surface of the engine.
+
+The reference tool's extension surface was CLI flags only (SURVEY.md
+§2A A12: keep-preference direction, weights, empty handling, hash-db
+path).  Here the analogous surface is one frozen dataclass whose hash is
+recorded in every stage manifest (lineage), so "same shingle/signature
+config" (BASELINE.json:14) is a checkable byte string.
+
+Everything that could make two runs differ lives here: seeds, shingle
+size, permutation count, banding, thresholds, skew caps.  No UDF may
+consult wall-clock or unseeded randomness.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- exact layer -------------------------------------------------
+    #: include empty documents (text == "") in exact dedup; when False
+    #: they are dropped before hashing (reference A9 analog: all empty
+    #: files are mutually content-identical).
+    keep_empty: bool = True
+
+    # --- shingling / MinHash (BASELINE.json:6: 128 perms) ------------
+    shingle_k: int = 5
+    num_perms: int = 128
+    #: lowercase + \w+ tokenization before shingling
+    normalize: bool = True
+
+    # --- LSH banding  (bands * rows_per_band == num_perms) -----------
+    bands: int = 32
+    rows_per_band: int = 4
+
+    # --- candidate verification --------------------------------------
+    #: target Jaccard similarity for "near duplicate"
+    jaccard_tau: float = 0.8
+    #: verification threshold applied to the *estimated* Jaccard
+    #: (fraction of agreeing signature components).  Set below tau to
+    #: absorb estimator variance (sigma ~ sqrt(tau(1-tau)/num_perms)
+    #: ~= 0.035 at tau=0.8, 128 perms) so that recall on true-J >= tau
+    #: pairs stays >= 0.99.
+    verify_margin: float = 0.07
+
+    # --- skew handling (BASELINE.json:6,14) --------------------------
+    #: LSH buckets larger than this are salted into sub-buckets of at
+    #: most this size; cross-salt connectivity recovered via per-salt
+    #: representatives.  Every capped bucket is logged in counters —
+    #: never silently truncated.
+    bucket_cap: int = 64
+
+    # --- substring pass (BASELINE.json:6) ----------------------------
+    #: minimum shared-substring length (characters) that makes an edge
+    substring_min_len: int = 200
+    #: winnowing gram size g: fingerprint every g-char window's hash.
+    #: Guarantee (winnowing theorem): any shared substring of length
+    #: >= g + w - 1 shares at least one selected fingerprint, with
+    #: window w = substring_min_len - winnow_gram + 1.
+    winnow_gram: int = 64
+
+    # --- determinism --------------------------------------------------
+    seed: int = 0x5EED_D00D
+
+    # --- execution hints (not semantics; excluded from config_hash) --
+    num_partitions: int = field(default=64, compare=False)
+    batch_size: int = field(default=2048, compare=False)
+    minhash_concurrency: int = field(default=8, compare=False)
+
+    _SEMANTIC_EXCLUDE = ("num_partitions", "batch_size", "minhash_concurrency")
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perms:
+            raise ValueError(
+                f"bands({self.bands}) * rows_per_band({self.rows_per_band}) "
+                f"must equal num_perms({self.num_perms})"
+            )
+        if self.winnow_gram >= self.substring_min_len:
+            raise ValueError("winnow_gram must be < substring_min_len")
+
+    @property
+    def verify_tau(self) -> float:
+        return self.jaccard_tau - self.verify_margin
+
+    @property
+    def winnow_window(self) -> int:
+        """Winnowing window w so detection of >= substring_min_len shared
+        substrings is guaranteed: g + w - 1 == substring_min_len."""
+        return self.substring_min_len - self.winnow_gram + 1
+
+    def semantic_dict(self) -> dict:
+        d = asdict(self)
+        for k in self._SEMANTIC_EXCLUDE:
+            d.pop(k, None)
+        return d
+
+    def config_hash(self) -> str:
+        """Stable hash of the semantic config — stamped into every stage
+        manifest (lineage) and compared on resume."""
+        blob = json.dumps(self.semantic_dict(), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,392 @@
+"""Generic relational operators (SURVEY.md §2B B17–B22) expressed
+Ray-Data-first over the driver's TPC-H-ish tables (TESTDATA.md).
+
+Every function takes ``sf_dir`` and returns a ``ray.data.Dataset``;
+each has a DuckDB oracle registered in ``__ray_entry__.oracle_sql``.
+Column names are chosen to match the oracle SQL exactly (the driver
+hash-compares values after sorting columns by name).
+
+Scale notes applied throughout:
+  - column pruning at the read (``columns=[...]``),
+  - vectorized pyarrow.compute predicates inside map_batches (B22),
+  - grouped aggregates use a per-batch PARTIAL aggregate (combiner)
+    before the global shuffle where the reduction is algebraic
+    (sum/count), so the all-to-all exchange moves one row per
+    (block, key) instead of one per input row (SURVEY.md §4),
+  - joins: hash-partitioned ``Dataset.join`` when both sides are
+    large; broadcast (ray.put + in-batch lookup) when one side is
+    provably small (anti-join below).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from dedup_ray.functions.scalar import sql_round
+
+
+# ---------------------------------------------------------------- B4/B22
+def filter_lineitem(sf_dir: str) -> ray.data.Dataset:
+    """Vectorized predicate pushdown: shipped-before-1996 cheap lines."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+
+    def pred(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.less(t["l_shipdate"], pa.scalar(np.datetime64("1996-01-01", "us"))),
+            pc.less(t["l_quantity"], 24.0),
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(pred, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- B18
+def grouped_agg_q1(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-shaped grouped aggregate with an explicit map-side
+    combiner: per-batch pyarrow ``Table.group_by`` partials, then a
+    small global shuffle over (flag, status) partial rows."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us")))
+        )
+        disc_price = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        t = t.append_column("disc_price", disc_price)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("disc_price", "sum"),
+                ("l_quantity", "count"),
+            ]
+        )
+        # select by the names pyarrow assigns ("<col>_<agg>"), not by
+        # position (aggregate output column order is an implementation
+        # detail)
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "l_quantity_sum": g["l_quantity_sum"],
+                "l_extendedprice_sum": g["l_extendedprice_sum"],
+                "disc_price_sum": g["disc_price_sum"],
+                "n": g["l_quantity_count"],
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity_sum", alias_name="sum_qty_raw"),
+        Sum("l_extendedprice_sum", alias_name="sum_base_raw"),
+        Sum("disc_price_sum", alias_name="sum_disc_raw"),
+        Sum("n", alias_name="count_order"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": sql_round(t["sum_qty_raw"], 2),
+                "sum_base_price": sql_round(t["sum_base_raw"], 2),
+                "sum_disc_price": sql_round(t["sum_disc_raw"], 2),
+                "avg_qty": sql_round(
+                    pc.divide(t["sum_qty_raw"], pc.cast(t["count_order"], pa.float64())),
+                    4,
+                ),
+                "count_order": pc.cast(t["count_order"], pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+GROUPED_AGG_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       round(sum(l_quantity) / count(*), 4)               AS avg_qty,
+       count(*)                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------- B15/B21 join
+def join_orders_customer(sf_dir: str) -> ray.data.Dataset:
+    """Hash-partitioned inner join orders ⨝ customer, then grouped agg
+    per market segment.  Both sides read column-pruned."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = orders.join(
+        customer,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_raw")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "n_orders": pc.cast(t["n_orders"], pa.int64()),
+                "total_price": sql_round(t["total_raw"], 2),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+JOIN_ORDERS_CUSTOMER_SQL = """
+SELECT c_mktsegment,
+       count(*)                   AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------- B19
+def sort_limit_orders(sf_dir: str) -> ray.data.Dataset:
+    """Top-10 orders by totalprice (desc), deterministic tie-break on
+    o_orderkey.  Distributed sort + limit (Ray range-partitions)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SORT_LIMIT_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------- B21
+def distinct_event_types(sf_dir: str) -> ray.data.Dataset:
+    """Distinct values via per-batch dedup (combiner) + global groupby —
+    equivalent to ds.unique() but stays a Dataset with a named column."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    partial = ds.map_batches(
+        lambda t: t.group_by("event_type").aggregate([]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return partial.groupby("event_type").map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+DISTINCT_EVENT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+# ---------------------------------------------------------------- B22
+def scalar_functions(sf_dir: str) -> ray.data.Dataset:
+    """Scalar-function layer: string / timestamp / arithmetic kernels,
+    all pyarrow.compute (vectorized, zero-copy)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def fns(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": pc.cast(t["l_linenumber"], pa.int64()),
+                "ship_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                "ship_month": pc.cast(pc.month(t["l_shipdate"]), pa.int64()),
+                "rf_lower": pc.utf8_lower(t["l_returnflag"]),
+                "disc_price": sql_round(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    ),
+                    2,
+                ),
+            }
+        )
+
+    return ds.map_batches(fns, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SCALAR_FUNCTIONS_SQL = """
+SELECT l_orderkey,
+       cast(l_linenumber AS bigint)       AS l_linenumber,
+       cast(year(l_shipdate) AS bigint)   AS ship_year,
+       cast(month(l_shipdate) AS bigint)  AS ship_month,
+       lower(l_returnflag)                AS rf_lower,
+       round(l_extendedprice * (1 - l_discount), 2) AS disc_price
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------- B21 anti-join
+def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
+    """Anti-join via BROADCAST key set: the distinct o_custkey set is
+    small relative to the fact table, so it is ray.put() once and read
+    inside each filter task — no shuffle join (SURVEY.md §4 'broadcast
+    small sides')."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 250000.0)).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # distinct keys shrink on the cluster first (per-batch unique), THEN
+    # stream to the driver — the driver only ever sees the small key set
+    chunks = [
+        np.unique(b["o_custkey"].to_numpy(zero_copy_only=False))
+        for b in orders.map_batches(
+            lambda t: t.group_by("o_custkey").aggregate([]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).iter_batches(batch_format="pyarrow", batch_size=65536)
+    ]
+    keys = (
+        np.unique(np.concatenate(chunks)) if chunks else np.empty(0, dtype=np.int64)
+    )
+    keys_ref = ray.put(keys)
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    class AntiJoin:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            have = np.isin(t["c_custkey"].to_numpy(zero_copy_only=False), self.keys)
+            return t.filter(pa.array(~have))
+
+    return customer.map_batches(
+        AntiJoin,
+        fn_constructor_args=(keys_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+"""
+
+
+# ---------------------------------------------------------------- stream-shaped
+def events_hourly_window(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling-window aggregate (stream-shaped workload on a batch
+    engine): per (user_id, hour) count + sum(value).  The window key is
+    computed vectorized (floor_temporal) and the aggregate uses the
+    same partial-then-global combiner as Q1."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def add_window(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table(
+            {"user_id": t["user_id"], "hour": hour, "value": t["value"]}
+        )
+
+    windowed = ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+    agg = windowed.groupby(["user_id", "hour"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_raw")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "hour": t["hour"],
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "sum_value": sql_round(t["sum_raw"], 3),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+EVENTS_HOURLY_WINDOW_SQL = """
+SELECT user_id,
+       date_trunc('hour', ts)     AS hour,
+       count(*)                   AS n_events,
+       round(sum(value), 3)       AS sum_value
+FROM events
+GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+# ---------------------------------------------------------------- B21 union
+def union_shards(sf_dir: str) -> ray.data.Dataset:
+    """ds.union of two disjoint filtered shards, then distinct count by
+    type — exercises set-union plus dedup-after-union."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    lo = ds.map_batches(
+        lambda t: t.filter(pc.less(t["value"], 0.0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    hi = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["value"], 0.0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    both = lo.union(hi)
+    agg = both.groupby("event_type").aggregate(Count(alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"event_type": t["event_type"], "n": pc.cast(t["n"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+UNION_SHARDS_SQL = """
+SELECT event_type, count(*) AS n
+FROM (SELECT * FROM events WHERE value < 0
+      UNION ALL
+      SELECT * FROM events WHERE value >= 0)
+GROUP BY event_type
+"""

@@ -1,0 +1,39 @@
+"""content_sha256 (SURVEY.md §2B B5) — exact content hash.
+
+Reference analog: ``FileObj.hash()`` (lazy chunked MD5 of file bytes,
+SURVEY.md §2A A3); upgraded to SHA-256 per BASELINE.json:6.  The hash
+is over the UTF-8 bytes of ``text`` — identical to DuckDB's
+``sha256(text)`` on the same column, which is what makes the exact
+layer SQL-oracle-checkable.
+
+Implementation note: SHA-256 is inherently per-row, so the "vectorized"
+rule here means: one zero-copy Arrow batch in, a single Python loop
+whose body is one C hashlib call per row (no per-row Arrow scalar
+boxing — ``to_pylist`` converts the column once), plus
+``pyarrow.compute`` for the char-length column.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _sha256_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    sha = hashlib.sha256
+    digests = [sha((t or "").encode("utf-8")).hexdigest() for t in texts]
+    n_chars = pc.cast(
+        pc.utf8_length(pc.coalesce(batch["text"], pa.scalar("", pa.string()))),
+        pa.int64(),
+    )
+    batch = batch.append_column("content_sha256", pa.array(digests, type=pa.string()))
+    return batch.append_column("n_chars", n_chars)
+
+
+def add_content_sha256(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """pages -> hashed: append ``content_sha256`` (hex) and ``n_chars``."""
+    return ds.map_batches(_sha256_batch, batch_format="pyarrow", zero_copy_batch=True)

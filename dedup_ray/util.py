@@ -1,0 +1,230 @@
+"""Deterministic, vectorized 64-bit hashing primitives.
+
+Python's builtin ``hash()`` is salted per process (PYTHONHASHSEED), so
+it must never be used in UDFs: Ray retries / multi-process execution
+would produce different hashes for the same input.  Everything here is
+pure, seedable and numpy-vectorized.
+
+All uint64 arithmetic deliberately wraps (mod 2^64).  The per-shingle
+and per-band combiners are polynomial hashes with odd multipliers; the
+MinHash permutation family is multiply-add over uint64
+(Dietzfelbinger-style multiply-shift universal hashing) — a standard,
+fast substitute for (a*x+b) mod Mersenne-prime at this signature width.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+# odd 64-bit constants (from splitmix64 / golden-ratio families)
+_POLY_C = np.uint64(0x9E3779B97F4A7C15)
+_MIX_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_M2 = np.uint64(0x94D049BB133111EB)
+
+_U64 = np.uint64
+_MASK64 = (1 << 64) - 1
+
+# numpy >= 1.24 warns/errors on uint64 overflow in some paths; we want
+# silent wraparound semantics everywhere in this module.
+_ERRSTATE = np.errstate(over="ignore")
+
+
+def blake2b_u64(data: bytes, *, seed: int = 0) -> int:
+    """Stable 64-bit hash of bytes (blake2b/8, little-endian)."""
+    h = hashlib.blake2b(data, digest_size=8, key=seed.to_bytes(8, "little"))
+    return int.from_bytes(h.digest(), "little")
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — decorrelates polynomial hashes."""
+    with _ERRSTATE:
+        x = x.astype(_U64, copy=True)
+        x += _POLY_C
+        x ^= x >> _U64(30)
+        x *= _MIX_M1
+        x ^= x >> _U64(27)
+        x *= _MIX_M2
+        x ^= x >> _U64(31)
+    return x
+
+
+class TokenHasher:
+    """token string -> stable uint64, with a per-instance cache.
+
+    Designed to live inside a map_batches ACTOR (state built once per
+    worker, reused across batches — SURVEY.md §2B B7).  The cache makes
+    repeated tokens (web text is Zipfian) nearly free; cold tokens cost
+    one blake2b call.
+    """
+
+    __slots__ = ("_cache", "_seed")
+
+    def __init__(self, seed: int = 0) -> None:
+        self._cache: dict[str, int] = {}
+        self._seed = seed
+
+    def hash_tokens(self, tokens: list[str]) -> np.ndarray:
+        cache = self._cache
+        seed = self._seed
+        out = np.empty(len(tokens), dtype=np.uint64)
+        for i, t in enumerate(tokens):
+            v = cache.get(t)
+            if v is None:
+                v = blake2b_u64(t.encode("utf-8", "surrogatepass"), seed=seed)
+                cache[t] = v
+            out[i] = v
+        return out
+
+
+def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Rolling polynomial hash over k consecutive token hashes.
+
+    h[i] = finalize( sum_j C^(k-1-j) * t[i+j] )  (uint64 wraparound),
+    vectorized as k shifted-array multiply-adds.  Returns an array of
+    length max(0, n-k+1); a doc shorter than k tokens gets a single
+    whole-doc shingle so tiny docs still participate.
+    """
+    n = len(token_hashes)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        k = n
+    m = n - k + 1
+    with _ERRSTATE:
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * _POLY_C + token_hashes[j : j + m]
+    return splitmix64(acc)
+
+
+def combine_rows_u64(mat: np.ndarray) -> np.ndarray:
+    """Polynomial-combine each row of a (n, r) uint64 matrix to one
+    uint64 — used to hash an LSH band (r signature components) into a
+    single bucket key."""
+    with _ERRSTATE:
+        acc = np.zeros(len(mat), dtype=np.uint64)
+        for j in range(mat.shape[1]):
+            acc = acc * _POLY_C + mat[:, j]
+    return splitmix64(acc)
+
+
+def minhash_perms(num_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) multiply-add parameters; a is odd."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _MASK64, size=num_perms, dtype=np.uint64) | _U64(1)
+    b = rng.integers(0, _MASK64, size=num_perms, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    all_shingles: np.ndarray,
+    offsets: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+) -> np.ndarray:
+    """MinHash signatures for a whole batch in one vectorized pass.
+
+    ``all_shingles`` is the concatenation of every doc's shingle-hash
+    array; ``offsets[i]`` is the start of doc i (len == n_docs, first
+    element 0).  For each permutation p: min over each doc's slice of
+    a[p]*x + b[p]  (uint64 wraparound) via ``np.minimum.reduceat`` —
+    no per-doc Python loop.  Empty docs (zero shingles) get signature
+    UINT64_MAX so they never collide in LSH buckets.
+
+    Returns (n_docs, num_perms) uint64.
+    """
+    n_docs = len(offsets)
+    num_perms = len(a)
+    out = np.empty((n_docs, num_perms), dtype=np.uint64)
+    if len(all_shingles) == 0:
+        out[:] = np.iinfo(np.uint64).max
+        return out
+    # reduceat needs strictly valid indices; empty slices (offsets[i] ==
+    # offsets[i+1]) yield the element at offsets[i] — mask them after.
+    lengths = np.diff(np.append(offsets, len(all_shingles)))
+    empty = lengths == 0
+    safe_offsets = np.minimum(offsets, len(all_shingles) - 1)
+    with _ERRSTATE:
+        for p in range(num_perms):
+            v = a[p] * all_shingles + b[p]
+            mins = np.minimum.reduceat(v, safe_offsets)
+            out[:, p] = mins
+    if empty.any():
+        out[empty, :] = np.iinfo(np.uint64).max
+    return out
+
+
+def u64_matrix_to_binary(mat: np.ndarray) -> "pa.Array":
+    """(n, k) uint64 matrix -> Arrow binary array, one k*8-byte value
+    per row, built from a single data buffer (no per-row Python
+    objects).  Used to carry MinHash signatures through joins — acero
+    joins reject fixed_size_list payload columns."""
+    import pyarrow as pa
+
+    n, k = mat.shape
+    width = k * 8
+    data = pa.py_buffer(np.ascontiguousarray(mat, dtype=np.uint64).tobytes())
+    offsets = pa.py_buffer((np.arange(n + 1, dtype=np.int32) * width).tobytes())
+    return pa.Array.from_buffers(pa.binary(), n, [None, offsets, data])
+
+
+def binary_to_u64_matrix(col, k: int) -> np.ndarray:
+    """Arrow binary column (each value k*8 bytes) -> (n, k) uint64
+    matrix, vectorized via the offsets + data buffers."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, k), dtype=np.uint64)
+    buffers = col.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int32, count=n + 1, offset=col.offset * 4)
+    values = np.frombuffer(buffers[2], dtype=np.uint8)
+    starts = offsets[:-1].astype(np.int64)
+    idx = starts[:, None] + np.arange(k * 8, dtype=np.int64)[None, :]
+    flat = values[idx.reshape(-1)].reshape(n, k * 8)
+    return flat.view(np.uint64).reshape(n, k) if flat.flags.c_contiguous else np.ascontiguousarray(flat).view(np.uint64).reshape(n, k)
+
+
+def char_rolling_hashes(text: str, gram: int) -> np.ndarray:
+    """Stable hash of every ``gram``-char window of ``text`` (vectorized).
+
+    Used by the winnowing substring pass.  Characters are mapped to
+    uint64 codepoints and combined with the same polynomial family as
+    shingle_hashes.  Returns length max(0, n-gram+1).
+    """
+    n = len(text)
+    if n < gram:
+        return np.empty(0, dtype=np.uint64)
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    m = n - gram + 1
+    with _ERRSTATE:
+        acc = np.zeros(m, dtype=np.uint64)
+        # gram is ~64: 64 vector ops per doc, still far cheaper than a
+        # Python loop over n windows.
+        for j in range(gram):
+            acc = acc * _POLY_C + codes[j : j + m]
+    return splitmix64(acc)
+
+
+def winnow_select(hashes: np.ndarray, window: int) -> np.ndarray:
+    """Winnowing (Schleimer et al., SIGMOD 2003): positions of the
+    minimum hash in every sliding window of ``window`` consecutive
+    hashes; duplicates collapsed.  Guarantees every substring of length
+    >= gram + window - 1 contributes at least one selected position.
+
+    Returns sorted unique positions (int64).
+    """
+    n = len(hashes)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n <= window:
+        return np.array([int(np.argmin(hashes))], dtype=np.int64)
+    # sliding-window argmin via np.lib.stride_tricks (O(n*w) worst case
+    # but vectorized); w is ~140 for the default config.
+    sw = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    mins = sw.argmin(axis=1) + np.arange(len(sw))
+    return np.unique(mins).astype(np.int64)
