@@ -23,7 +23,7 @@ def entry() -> Any:
     assignments verdict table (url, cluster_id, is_canonical, kind)."""
     from dedup_ray.pipelines.flagship import flagship_assignments
 
-    return flagship_assignments("/root/testdata/sf0.001")
+    return flagship_assignments("/root/testdata/sf0.001", substring_pass=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -48,6 +48,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": rel.events_hourly_window,
         "union_shards": rel.union_shards,
     }
+    from dedup_ray.functions import text as tx
+    from dedup_ray.stages import embedding as emb
+
+    q.update(
+        {
+            # --- text analysis (training-data pipeline ops) ----------
+            "token_count": tx.token_count,
+            "quality_score": tx.quality_score,
+            "lang_id": tx.lang_id,
+            "doc_fingerprint": tx.doc_fingerprint,
+            # --- embedding similarity search -------------------------
+            "embedding_cosine_topk": emb.cosine_topk,
+            "embedding_near_pairs": emb.cosine_near_pairs,
+            "embedding_ann_lsh": emb.ann_lsh_pairs,
+        }
+    )
     try:  # near-dup layer registers once implemented (rows-only checks)
         from dedup_ray.pipelines import neardup_queries as nq
 
@@ -80,6 +96,17 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_window": rel.EVENTS_HOURLY_WINDOW_SQL,
         "union_shards": rel.UNION_SHARDS_SQL,
     }
+    from dedup_ray.functions import text as tx
+    from dedup_ray.stages import embedding as emb
+
+    sql.update(
+        {
+            "token_count": tx.TOKEN_COUNT_SQL,
+            "quality_score": tx.QUALITY_SCORE_SQL,
+            "embedding_cosine_topk": emb.COSINE_TOPK_SQL,
+            "embedding_near_pairs": emb.COSINE_NEAR_PAIRS_SQL,
+        }
+    )
     try:
         from dedup_ray.pipelines import neardup_queries as nq
 

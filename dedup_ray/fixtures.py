@@ -79,7 +79,11 @@ class PageGen:
         self.max_tokens = max_tokens
         self.vocab = make_vocab(seed)
         rng = _rng(seed, "bp")
-        self.bp_template = self.vocab[rng.integers(0, len(self.vocab), size=30)]
+        # 20 tokens ~= 140 chars: long enough to make a hot LSH shingle
+        # bucket, short enough to stay below substring_min_len=200 (a
+        # 30-token template would itself be a >=200-char shared
+        # substring, contradicting "boilerplate pages are NOT dups")
+        self.bp_template = self.vocab[rng.integers(0, len(self.vocab), size=20)]
 
     # ---- per-id primitives -----------------------------------------
     def _length(self, rng: np.random.Generator) -> int:

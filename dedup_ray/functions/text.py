@@ -1,0 +1,172 @@
+"""Text-analysis operators over the documents/pages text column —
+the quality/filtering components of a training-data pipeline:
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting.  All vectorized (pyarrow.compute) or actor-pool."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from dedup_ray.config import DEFAULT_CONFIG
+from dedup_ray.functions.scalar import sql_round
+from dedup_ray.sources.pages import documents_as_pages
+from dedup_ray.util import char_rolling_hashes, winnow_select
+
+
+def token_count(sf_dir: str) -> ray.data.Dataset:
+    """Whitespace token count per doc.  Definition chosen to equal
+    DuckDB's length(string_split(text, ' ')) exactly: for ANY string,
+    that equals count(' ') + 1."""
+    ds = documents_as_pages(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        spaces = pc.count_substring(pc.coalesce(t["text"], ""), pattern=" ")
+        return pa.table(
+            {
+                "url": t["url"],
+                "n_tokens": pc.add(pc.cast(spaces, pa.int64()), 1),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TOKEN_COUNT_SQL = """
+SELECT cast(doc_id AS varchar) AS url,
+       cast(length(string_split(text, ' ')) AS bigint) AS n_tokens
+FROM documents
+"""
+
+
+def quality_score(sf_dir: str) -> ray.data.Dataset:
+    """Cheap quality signals: char length, token count, mean token
+    length, punctuation count — the length/punct-ratio family of
+    filters."""
+    ds = documents_as_pages(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        text = pc.coalesce(t["text"], "")
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_tokens = pc.add(
+            pc.cast(pc.count_substring(text, pattern=" "), pa.int64()), 1
+        )
+        n_punct = pc.cast(
+            pc.count_substring_regex(text, pattern=r"[.,;:!?]"), pa.int64()
+        )
+        avg_tok = sql_round(
+            pc.divide(
+                pc.cast(pc.subtract(n_chars, pc.subtract(n_tokens, 1)), pa.float64()),
+                pc.cast(n_tokens, pa.float64()),
+            ),
+            4,
+        )
+        return pa.table(
+            {
+                "url": t["url"],
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "n_punct": n_punct,
+                "avg_token_len": avg_tok,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUALITY_SCORE_SQL = """
+SELECT cast(doc_id AS varchar) AS url,
+       cast(length(text) AS bigint)                                   AS n_chars,
+       cast(length(string_split(text, ' ')) AS bigint)                AS n_tokens,
+       cast(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS bigint) AS n_punct,
+       round((length(text) - (length(string_split(text, ' ')) - 1))
+             / cast(length(string_split(text, ' ')) AS double), 4)    AS avg_token_len
+FROM documents
+"""
+
+# tiny per-language stopword profiles for the heuristic language id
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "with"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "une", "des", "dans", "pour", "que"},
+    "es": {"el", "la", "los", "y", "es", "una", "de", "en", "por", "que"},
+}
+
+
+class LangId:
+    """Heuristic language id (stopword-profile scoring) as an
+    actor-pool stage — profiles built once per worker."""
+
+    def __init__(self) -> None:
+        import re
+
+        self.word = re.compile(r"[a-zA-Z]+")
+        self.profiles = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds = []
+        for text in t["text"].to_pylist():
+            toks = self.word.findall((text or "").lower())
+            if not toks:
+                preds.append("unknown")
+                continue
+            best_lang, best = "unknown", 0
+            for lang, prof in self.profiles.items():
+                score = sum(1 for w in toks if w in prof)
+                if score > best:
+                    best, best_lang = score, lang
+            preds.append(best_lang)
+        return pa.table({"url": t["url"], "lang_pred": pa.array(preds, pa.string())})
+
+
+def lang_id(sf_dir: str) -> ray.data.Dataset:
+    ds = documents_as_pages(sf_dir)
+    return ds.map_batches(
+        LangId,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+class Fingerprint:
+    """Document fingerprint: count + min/max of winnowing-selected
+    rolling hashes (the compact content sketch used by the substring
+    pass, exposed as its own operator)."""
+
+    def __init__(self) -> None:
+        self.g = DEFAULT_CONFIG.winnow_gram
+        self.w = DEFAULT_CONFIG.winnow_window
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        counts, mins = [], []
+        for text in t["text"].to_pylist():
+            hs = char_rolling_hashes(text or "", self.g)
+            if len(hs) == 0:
+                counts.append(0)
+                mins.append("")
+                continue
+            sel = winnow_select(hs, self.w)
+            counts.append(len(sel))
+            mins.append(format(int(hs[sel].min()), "016x"))
+        return pa.table(
+            {
+                "url": t["url"],
+                "n_fingerprints": pa.array(counts, pa.int64()),
+                "min_fingerprint": pa.array(mins, pa.string()),
+            }
+        )
+
+
+def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    ds = documents_as_pages(sf_dir)
+    return ds.map_batches(
+        Fingerprint,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )

@@ -1,0 +1,289 @@
+"""Embedding similarity operators over the ``embeddings`` table
+(vec_id:int64, embedding:list<float>[64], label:int32) — the
+similarity-search component of a training-data pipeline.
+
+Three operators:
+  - brute-force cosine top-k vs a small broadcast query set (the
+    exact baseline: one numpy matmul per batch against the broadcast
+    query matrix; scales as map-only over the corpus);
+  - all-pairs near-dup above a cosine threshold via broadcast of the
+    full (small) matrix — at 100-TB scale the matrix no longer
+    broadcasts and the LSH variant below is the path;
+  - random-hyperplane (SimHash-for-vectors) LSH buckets -> within-
+    bucket exact cosine — the scale path: slim (bucket, id) rows,
+    groupby shuffle, no O(n^2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _read_embeddings(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    emb = t["embedding"].combine_chunks()
+    flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // max(len(t), 1)
+    return ids, flat.reshape(len(t), dim)
+
+
+def _collect_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side collection of the full embedding matrix — ONLY valid
+    while the table is small (it is broadcast afterwards); the LSH
+    variant is the path when it is not."""
+    ids_list, mats = [], []
+    for b in _read_embeddings(sf_dir).iter_batches(
+        batch_format="pyarrow", batch_size=65536
+    ):
+        i, m = _batch_matrix(b)
+        ids_list.append(i)
+        mats.append(m)
+    return np.concatenate(ids_list), np.vstack(mats)
+
+
+def cosine_topk(
+    sf_dir: str, *, n_queries: int = 3, k: int = 5
+) -> ray.data.Dataset:
+    """For each query vec_id < n_queries: top-k neighbors by cosine
+    (excluding self), deterministic tie-break on neighbor_id.
+
+    Pattern: broadcast the tiny query matrix via ray.put; each batch
+    computes a (batch x queries) cosine block (numpy matmul); per-batch
+    partial top-k rows shuffle to a final per-query selection.
+    """
+    all_ids, all_m = _collect_matrix(sf_dir)
+    qmask = all_ids < n_queries
+    q_ids = all_ids[qmask]
+    qm = all_m[qmask]
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, qm))
+
+    class PartialTopK:
+        def __init__(self, ref, k: int) -> None:
+            self.q_ids, self.qm = ray.get(ref)
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, m = _batch_matrix(t)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            m = m / norms
+            cos = m @ self.qm.T  # (batch, n_queries)
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(self.q_ids.tolist()):
+                col = cos[:, j]
+                mask = ids != qid
+                cand_ids = ids[mask]
+                cand_cos = col[mask]
+                if len(cand_ids) > self.k:
+                    # top-k by (cos desc, id asc)
+                    order = np.lexsort((cand_ids, -cand_cos))[: self.k]
+                else:
+                    order = np.argsort(-cand_cos)
+                out_q.extend([qid] * len(order))
+                out_n.extend(cand_ids[order].tolist())
+                out_c.extend(cand_cos[order].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "neighbor_id": pa.array(out_n, type=pa.int64()),
+                    "cos": pa.array(out_c, type=pa.float64()),
+                }
+            )
+
+    partials = _read_embeddings(sf_dir).map_batches(
+        PartialTopK,
+        fn_constructor_args=(q_ref, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+
+    def final(group: pa.Table) -> pa.Table:
+        if "neighbor_id" not in group.column_names:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                }
+            )
+        nid = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        cos = group["cos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -cos))[:k]
+        return pa.table(
+            {
+                "query_id": group["query_id"].take(pa.array(order)),
+                "neighbor_id": pa.array(nid[order], type=pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(final, batch_format="pyarrow")
+
+
+COSINE_TOPK_SQL = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(e.embedding, q.embedding) AS c
+  FROM embeddings e, q WHERE e.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def cosine_near_pairs(sf_dir: str, *, threshold: float = 0.35) -> ray.data.Dataset:
+    """All pairs (a < b) with cosine >= threshold — broadcast full
+    matrix, per-batch matmul row-block vs everything."""
+    all_ids, all_m = _collect_matrix(sf_dir)
+    norms = np.linalg.norm(all_m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    all_n = all_m / norms
+    ref = ray.put((all_ids, all_n))
+
+    class PairFinder:
+        def __init__(self, r, th: float) -> None:
+            self.ids, self.m = ray.get(r)
+            self.th = th
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, m = _batch_matrix(t)
+            nn = np.linalg.norm(m, axis=1, keepdims=True)
+            nn[nn == 0] = 1.0
+            m = m / nn
+            cos = m @ self.m.T
+            rows, cols = np.nonzero(cos >= self.th)
+            a = ids[rows]
+            b = self.ids[cols]
+            keep = a < b
+            return pa.table(
+                {
+                    "id_a": pa.array(a[keep], type=pa.int64()),
+                    "id_b": pa.array(b[keep], type=pa.int64()),
+                }
+            )
+
+    return _read_embeddings(sf_dir).map_batches(
+        PairFinder,
+        fn_constructor_args=(ref, threshold),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+
+
+COSINE_NEAR_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+"""
+
+
+def ann_lsh_pairs(
+    sf_dir: str, *, threshold: float = 0.35, n_bits: int = 4, n_tables: int = 32, seed: int = 7
+) -> ray.data.Dataset:
+    """Scale-path approximate near-pair search: random-hyperplane LSH.
+
+    Each of ``n_tables`` hash tables buckets vectors by the sign
+    pattern of ``n_bits`` random projections; exact cosine is computed
+    only within buckets.  Recall for cos >= t pairs per table is
+    (1 - acos(t)/pi)^n_bits, boosted across tables to
+    1 - (1 - r)^n_tables — at the default (t=0.35, 4 bits, 32 tables)
+    ~0.99.  For a high threshold like 0.9 the per-table recall is much
+    higher, so fewer/wider tables suffice; n_bits must grow with log of
+    corpus size to keep buckets bounded (2^bits buckets per table).
+    Slim shuffle rows (table, bucket, id, vector); no broadcast of the
+    corpus.
+    """
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.standard_normal((n_tables, n_bits, 64))
+    p_ref = ray.put(planes)
+
+    class Bucketer:
+        def __init__(self, r) -> None:
+            self.planes = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, m = _batch_matrix(t)
+            tbls, bks, oids, embs = [], [], [], []
+            weights = (1 << np.arange(n_bits)).astype(np.int64)
+            for ti in range(n_tables):
+                proj = m @ self.planes[ti].T  # (n, bits)
+                bits = (proj >= 0).astype(np.int64)
+                bucket = bits @ weights
+                tbls.append(np.full(len(ids), ti, dtype=np.int64))
+                bks.append(bucket)
+                oids.append(ids)
+                embs.append(m)
+            return pa.table(
+                {
+                    "tbl": pa.array(np.concatenate(tbls), type=pa.int64()),
+                    "bucket": pa.array(np.concatenate(bks), type=pa.int64()),
+                    "vec_id": pa.array(np.concatenate(oids), type=pa.int64()),
+                    "embedding": pa.array(
+                        list(np.vstack(embs)), type=pa.list_(pa.float64())
+                    ),
+                }
+            )
+
+    bucketed = _read_embeddings(sf_dir).map_batches(
+        Bucketer,
+        fn_constructor_args=(p_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+
+    def within(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
+        )
+        if "vec_id" not in group.column_names or len(group) < 2:
+            return empty
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        emb = group["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        m = flat.reshape(len(group), -1)
+        nn = np.linalg.norm(m, axis=1, keepdims=True)
+        nn[nn == 0] = 1.0
+        m = m / nn
+        cos = m @ m.T
+        iu, jv = np.triu_indices(len(ids), k=1)
+        keep = cos[iu, jv] >= threshold
+        a, b = ids[iu[keep]], ids[jv[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "id_a": pa.array(lo, type=pa.int64()),
+                "id_b": pa.array(hi, type=pa.int64()),
+            }
+        )
+
+    pairs = bucketed.groupby(["tbl", "bucket"]).map_groups(
+        within, batch_format="pyarrow"
+    )
+
+    # dedupe across tables
+    def first(group: pa.Table) -> pa.Table:
+        if "id_a" not in group.column_names:
+            return pa.table(
+                {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
+            )
+        return group.select(["id_a", "id_b"]).slice(0, 1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pyarrow")

@@ -66,7 +66,7 @@ def lsh_bands(signatures: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Datase
             return pa.table(
                 {
                     "band_id": pa.array([], type=pa.int32()),
-                    "band_hash": pa.array([], type=pa.uint64()),
+                    "band_hash": pa.array([], type=pa.int64()),
                     "url": pa.array([], type=pa.string()),
                 }
             )
@@ -79,7 +79,11 @@ def lsh_bands(signatures: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Datase
         return pa.table(
             {
                 "band_id": pa.array(band_ids, type=pa.int32()),
-                "band_hash": pa.array(bh, type=pa.uint64()),
+                # int64 REINTERPRET of the uint64 hash: Ray 2.49's sort
+                # boundary sampling overflows python-int uint64 values
+                # into pickled-object arrays; grouping only needs
+                # equality, which the bit view preserves
+                "band_hash": pa.array(bh.view(np.int64), type=pa.int64()),
                 "url": pa.array(urls, type=pa.string()),
             }
         )
@@ -150,7 +154,7 @@ class _Salter:
         is_hot = np.zeros(n, dtype=bool)
         if len(self._hot_keys):
             band_ids = t["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            band_hashes = t["band_hash"].to_numpy(zero_copy_only=False)
+            band_hashes = t["band_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
             with np.errstate(over="ignore"):
                 keys = band_ids * np.uint64(0x9E3779B97F4A7C15) ^ band_hashes
             idx = np.searchsorted(self._hot_keys, keys)

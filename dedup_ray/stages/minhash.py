@@ -86,7 +86,9 @@ class MinHasher:
         cols["minhash"] = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1), type=pa.uint64()), self.cfg.num_perms
         )
-        cols["simhash64"] = pa.array(simhashes, type=pa.uint64())
+        # int64 reinterpret: simhash64 is a groupby key downstream and
+        # uint64 keys break Ray's sort-boundary sampling (see lsh.py)
+        cols["simhash64"] = pa.array(simhashes.view(np.int64), type=pa.int64())
         return pa.table(cols)
 
 
@@ -106,6 +108,9 @@ def minhash_signatures_stage(
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.batch_size,
-        concurrency=concurrency or cfg.minhash_concurrency,
+        # autoscaling pool: min 1 so small runs / small test sessions
+        # never wait on actors that can't get a CPU, max sized to the
+        # node for throughput runs
+        concurrency=(1, concurrency or cfg.minhash_concurrency),
         num_cpus=1,
     )

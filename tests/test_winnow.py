@@ -1,0 +1,88 @@
+"""Substring pass tests (SURVEY.md §5.1 planted-substring + §5.4)."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from dedup_ray.config import DedupConfig
+from dedup_ray.fixtures import generate_pages
+from dedup_ray.oracle import predicted_pairs, recall_precision, true_dup_pairs
+from dedup_ray.pipelines.flagship import flagship_assignments_from_pages
+from dedup_ray.stages.winnow import substring_edges
+
+CFG = DedupConfig()
+
+
+def _winners(rows: dict) -> ray.data.Dataset:
+    return ray.data.from_arrow(pa.table(rows))
+
+
+def _rand_words(seed: int, n: int) -> str:
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    return " ".join(
+        "".join(letters[i] for i in rng.integers(0, 26, size=int(L)))
+        for L in rng.integers(3, 10, size=n)
+    )
+
+
+def test_planted_substring_detected():
+    shared = "the quick brown fox jumps over the lazy dog again and again " * 6
+    assert len(shared) >= CFG.substring_min_len + CFG.winnow_gram
+    # non-repetitive fillers: repeated/periodic filler text would itself
+    # constitute a real >=200-char shared substring
+    fill_a = _rand_words(1, 200)
+    fill_b = _rand_words(2, 200)
+    fill_c = _rand_words(3, 400)
+    rows = {
+        "url": ["a", "b", "c"],
+        "text": [
+            fill_a[:400] + shared + fill_a[400:],
+            fill_b[:200] + shared + fill_b[200:],
+            fill_c,
+        ],
+    }
+    edges = substring_edges(_winners(rows), CFG).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(edges["u"], edges["v"])}
+    assert ("a", "b") in got
+    assert all("c" not in p for p in got)
+    row = edges[(edges["u"] == "a") & (edges["v"] == "b")].iloc[0]
+    assert row["kind"] == "substring"
+    assert row["score"] >= CFG.substring_min_len
+
+
+def test_no_edge_below_threshold():
+    shared = "x y z " * 20  # 120 chars < 200
+    rows = {
+        "url": ["a", "b"],
+        "text": ["AAA " * 100 + shared, "BBB " * 100 + shared],
+    }
+    edges = substring_edges(_winners(rows), CFG).to_pandas()
+    assert len(edges) == 0
+
+
+@pytest.mark.slow
+def test_recall_with_substring_pass():
+    """Full pipeline with substring_pass=True against the brute-force
+    oracle including the substring class."""
+    pages, truth = generate_pages(2000, seed=99)
+    ds = ray.data.from_arrow(pages.select(["url", "text", "lang"])).map_batches(
+        lambda t: t.append_column("priority", pa.array([0] * len(t), pa.int64())),
+        batch_format="pyarrow",
+    )
+    assigns = flagship_assignments_from_pages(ds, CFG, substring_pass=True).to_pandas()
+    tp = true_dup_pairs(pages, CFG, include_substring=True)
+    true_pairs = tp["exact"] | tp["near"] | tp["substring"]
+    pred = predicted_pairs(assigns)
+    recall, precision, n_true, n_pred = recall_precision(true_pairs, pred)
+    print(f"\n[substring] recall={recall:.4f} precision={precision:.4f} true={n_true}")
+    assert recall >= 0.99
+    # substring members labeled correctly
+    tr = truth.to_pandas().set_index("url")
+    a = assigns.set_index("url")
+    ss = tr[tr["dup_class"] == "substring"].index
+    # every substring cluster of the fixture has >= 2 members merged
+    merged = a.loc[ss].groupby("cluster_id").size()
+    assert (merged >= 2).any()
