@@ -166,3 +166,134 @@ def flagship_assignments(
     return flagship_assignments_from_pages(
         documents_as_pages(sf_dir), cfg, substring_pass=substring_pass
     )
+
+
+def run_flagship_checkpointed(
+    input_path: str,
+    out_dir: str,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    *,
+    substring_pass: bool = True,
+    pages_loader=None,
+):
+    """The resumable production entry point (BASELINE.json:6,14): the
+    flagship stage graph with a Parquet checkpoint + manifest at every
+    ✓-boundary (SURVEY.md §3.2).  Re-running after a crash (or with an
+    unchanged input+config) skips completed stages via manifest match.
+
+    Returns (assignments Dataset, {stage: StageResult}).
+    ``pages_loader(input_path)`` defaults to reading a pages Parquet
+    directory (url/text/lang/priority after extract).
+    """
+    import pyarrow as pa
+
+    from dedup_ray.sources.pages import read_pages_parquet
+    from dedup_ray.stages.extract import extract_text
+    from dedup_ray.state.checkpoint import CheckpointedRun, fingerprint_paths
+
+    run = CheckpointedRun(out_dir, cfg)
+    input_fp = fingerprint_paths(input_path)
+
+    def build_members():
+        if pages_loader is not None:
+            pages = pages_loader(input_path)
+        else:
+            pages = extract_text(read_pages_parquet(input_path))
+        return exact_members(add_content_sha256(pages))
+
+    members, fp_members = run.run_stage("members", [input_fp], build_members)
+
+    def build_signatures():
+        winners = members.map_batches(
+            lambda t: t.filter(t["is_exact_winner"].combine_chunks()),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        sigs = minhash_signatures_stage(winners, cfg)
+        # fixed_size_list doesn't round-trip write_parquet+read cleanly
+        # through all paths; store the signature as binary
+        from dedup_ray.util import u64_matrix_to_binary
+
+        def sig_to_bin(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            sig = t["minhash"].combine_chunks()
+            flat = sig.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+            mat = flat.reshape(len(t), cfg.num_perms)
+            cols = {n: t[n] for n in t.column_names if n != "minhash"}
+            cols["minhash_bin"] = u64_matrix_to_binary(mat)
+            return pa.table(cols)
+
+        return sigs.map_batches(sig_to_bin, batch_format="pyarrow", zero_copy_batch=True)
+
+    sigs_bin, fp_sigs = run.run_stage("signatures", [fp_members], build_signatures)
+
+    def bin_to_sig(t: pa.Table):
+        import numpy as np
+
+        from dedup_ray.util import binary_to_u64_matrix
+
+        mat = binary_to_u64_matrix(t["minhash_bin"], cfg.num_perms)
+        cols = {n: t[n] for n in t.column_names if n != "minhash_bin"}
+        cols["minhash"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1), type=pa.uint64()), cfg.num_perms
+        )
+        return pa.table(cols)
+
+    hot_log_holder: dict = {}
+
+    def build_mh_edges():
+        sigs = sigs_bin.map_batches(
+            bin_to_sig, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        edges, hot_log = minhash_edges(sigs, cfg)
+        hot_log_holder["salted_buckets"] = hot_log
+        return edges
+
+    mh_edges, fp_mh = run.run_stage(
+        "edges_minhash",
+        [fp_sigs],
+        build_mh_edges,
+        counters=hot_log_holder,
+    )
+    edge_fps = [fp_mh]
+    edges = mh_edges
+    if run.report["edges_minhash"].rows == 0:
+        edges = ray.data.from_arrow(_empty_edges_table())
+
+    if substring_pass:
+        def build_ss_edges():
+            from dedup_ray.stages.winnow import substring_edges
+
+            winners = members.map_batches(
+                lambda t: t.filter(t["is_exact_winner"].combine_chunks()),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            return substring_edges(winners, cfg)
+
+        ss_edges, fp_ss = run.run_stage("edges_substring", [fp_members], build_ss_edges)
+        edge_fps.append(fp_ss)
+        if run.report["edges_substring"].rows > 0:
+            edges = edges.union(ss_edges)
+
+    def build_assignments():
+        return cluster_and_assign(members, edges, cfg)
+
+    assignments, _fp = run.run_stage(
+        "assignments", [fp_members, *edge_fps], build_assignments
+    )
+    return assignments, run.report
+
+
+def _empty_edges_table():
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "u": pa.array([], type=pa.string()),
+            "v": pa.array([], type=pa.string()),
+            "kind": pa.array([], type=pa.string()),
+            "score": pa.array([], type=pa.float64()),
+        }
+    )
