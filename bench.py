@@ -27,7 +27,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SCALING_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "120000"))
+#: large enough that per-stage compute dominates Ray's fixed
+#: orchestration costs (~1 min of setup noise would otherwise swamp
+#: the 8-vs-32 comparison)
+SCALING_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "600000"))
 SCALING_DIR = f"/tmp/bench_pages_{SCALING_ROWS}"
 
 

@@ -67,6 +67,8 @@ class DedupConfig:
 
     # --- execution hints (not semantics; excluded from config_hash) --
     num_partitions: int = field(default=64, compare=False)
+    #: 2048 keeps the minhash/simhash per-batch temporaries (~75MB)
+    #: cache-friendly; 4096 measurably regresses
     batch_size: int = field(default=2048, compare=False)
     minhash_concurrency: int = field(default=8, compare=False)
 

@@ -1,0 +1,157 @@
+"""Partitioned-kernel execution helper — the engine's answer to Ray
+Data's per-group ``map_groups`` overhead.
+
+``GroupedData.map_groups`` calls the UDF once per key group.  With
+millions of tiny groups (LSH buckets, sha groups, candidate pairs)
+that per-group Python dispatch dominates wall time and—worse—does not
+parallelize beyond the sort.  The scalable shape is:
+
+  1. append an int64 ``_pkey = stable_hash(key) % P`` column
+     (vectorized for numeric keys; one cheap C hash call per row for
+     string keys),
+  2. ``groupby("_pkey").map_groups`` — exactly P groups, so P UDF
+     calls total, each receiving EVERY row of its hash partition
+     (co-location guarantee: all rows of one logical key share a
+     partition),
+  3. the kernel segments its partition vectorized (np.lexsort /
+     np.unique) and processes all groups in numpy at once.
+
+P (``num_partitions``) is the multi-node lever: pick ~2-4x total
+cores; each partition must fit a worker's heap.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from dedup_ray.util import splitmix64
+
+PKEY = "_pkey"
+
+
+def default_pool_size(cap: int = 64) -> int:
+    """Actor-pool max = the session's CPU count (pools autoscale from
+    1, so a small test session never deadlocks waiting for actors)."""
+    import ray
+
+    try:
+        return max(1, min(cap, int(ray.cluster_resources().get("CPU", 8))))
+    except Exception:
+        return 8
+
+
+def hash_strings_u64(values: list) -> np.ndarray:
+    """Stable per-row 64-bit hash of a string column (one blake2b C
+    call per row — the unavoidable cost of string keys)."""
+    out = np.empty(len(values), dtype=np.uint64)
+    b2 = hashlib.blake2b
+    for i, v in enumerate(values):
+        out[i] = int.from_bytes(
+            b2((v or "").encode(), digest_size=8).digest(), "little"
+        )
+    return out
+
+
+def numeric_key_u64(table: pa.Table, cols: list[str]) -> np.ndarray:
+    """Vectorized combined hash of numeric key columns."""
+    acc = np.zeros(len(table), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in cols:
+            col = table[c].to_numpy(zero_copy_only=False)
+            if col.dtype == np.int64 or col.dtype == np.int32:
+                col = col.astype(np.int64).view(np.uint64)
+            else:
+                col = col.astype(np.uint64)
+            acc = acc * np.uint64(0x9E3779B97F4A7C15) + col
+    return splitmix64(acc)
+
+
+def _split_block(
+    tbl: pa.Table, key_hash_fn, num_partitions: int
+) -> list[pa.Table | None]:
+    """Map side of the exchange: split one block into per-partition
+    sub-tables (vectorized argsort + slice)."""
+    if tbl is None or len(tbl) == 0 or tbl.num_columns == 0:
+        return [None] * num_partitions
+    h = key_hash_fn(tbl)
+    pk = (h % np.uint64(num_partitions)).astype(np.int64)
+    order = np.argsort(pk, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order))
+    pk_sorted = pk[order]
+    out: list[pa.Table | None] = [None] * num_partitions
+    starts, lens = segments(pk_sorted)
+    for s, L in zip(starts.tolist(), lens.tolist()):
+        out[int(pk_sorted[s])] = sorted_tbl.slice(s, L)
+    return out
+
+
+def _reduce_partition(kernel, empty_result: pa.Table, *parts) -> pa.Table:
+    tbls = [t for t in parts if t is not None and len(t) > 0]
+    if not tbls:
+        return empty_result
+    g = pa.concat_tables(tbls, promote_options="default")
+    out = kernel(g)
+    return out if len(out) else empty_result
+
+
+def partitioned_kernel(
+    ds: ray.data.Dataset,
+    key_hash_fn: Callable[[pa.Table], np.ndarray],
+    kernel: Callable[[pa.Table], pa.Table],
+    *,
+    num_partitions: int = 64,
+    empty_result: pa.Table,
+) -> ray.data.Dataset:
+    """Run ``kernel`` once per hash partition with all rows of any
+    logical key co-located.
+
+    The exchange is a CUSTOM map/reduce over raw Ray tasks — the one
+    place this engine drops below the Dataset API: Ray 2.49's groupby
+    is a sample+range SORT shuffle (wasted work and a scaling
+    bottleneck when only hash co-location is needed; measured 2-3x
+    slower at 32 cpus on the 600k-row corpus), and its HASH_SHUFFLE
+    strategy spawns per-partition aggregator actors that thrash a
+    single node.  Here: each input block is split into P sub-tables
+    vectorized (one task per block, ``num_returns=P``), then P gather
+    tasks concat their slices and run the kernel — all zero-copy
+    through the object store, no sort, no sampling, O(B x P) small
+    objects.  P is the multi-node lever: ~2-4x total cores, each
+    partition must fit a worker heap.
+
+    ``key_hash_fn(batch) -> uint64 ndarray`` must be a pure function of
+    the key columns.  ``kernel`` receives a partition table (multiple
+    keys, unsorted) and must tolerate any subset of keys.  Schema-less
+    empty blocks are absorbed here so kernels never see them.
+    """
+    block_refs = list(ds.to_arrow_refs())
+    if not block_refs:
+        return ray.data.from_arrow(empty_result)
+
+    split = ray.remote(num_returns=num_partitions)(_split_block)
+    reduce = ray.remote(_reduce_partition)
+
+    split_refs = [split.remote(r, key_hash_fn, num_partitions) for r in block_refs]
+    if num_partitions == 1:
+        split_refs = [[r] for r in split_refs]
+    out_refs = []
+    for p in range(num_partitions):
+        parts = [s[p] for s in split_refs]
+        out_refs.append(reduce.remote(kernel, empty_result, *parts))
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def segments(sort_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Given group codes ALREADY IN SORTED-GROUP ORDER, return
+    (segment_starts, segment_lengths)."""
+    n = len(sort_codes)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    change = np.flatnonzero(sort_codes[1:] != sort_codes[:-1]) + 1
+    starts = np.concatenate([[0], change]).astype(np.int64)
+    lengths = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+    return starts, lengths

@@ -23,6 +23,7 @@ import ray
 import ray.data
 
 from dedup_ray.config import DEFAULT_CONFIG, DedupConfig
+from dedup_ray.core import default_pool_size
 from dedup_ray.sources.pages import documents_as_pages
 from dedup_ray.stages.exact import exact_members
 from dedup_ray.stages.hashing import add_content_sha256
@@ -51,6 +52,44 @@ def _node_kinds(edges: ray.data.Dataset) -> dict[str, int]:
     return kinds
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _worker_cluster_map(map_ref):
+    return ray.get(map_ref)
+
+
+def _assign_batch(t: pa.Table, map_ref, uniform: bool) -> pa.Table:
+    mapping, kinds = _worker_cluster_map(map_ref)
+    urls = t["url"].to_pylist()
+    winners = t["winner_url"].to_pylist()
+    group_n = t["group_n"].to_numpy(zero_copy_only=False)
+    n = len(t)
+    cluster = [mapping.get(w, w) for w in winners]
+    kind = []
+    for i in range(n):
+        if urls[i] != winners[i]:
+            kind.append("exact")
+        elif winners[i] in kinds:
+            kind.append(_RANK_KIND[kinds[winners[i]]])
+        elif group_n[i] > 1:
+            kind.append("exact")
+        else:
+            kind.append("unique")
+    cols = {
+        "url": t["url"],
+        "cluster_id": pa.array(cluster, type=pa.string()),
+        "kind": pa.array(kind, type=pa.string()),
+        "content_sha256": t["content_sha256"],
+        "n_chars": t["n_chars"],
+        "priority": t["priority"],
+    }
+    if uniform:
+        cols["is_canonical"] = pa.array([u == c for u, c in zip(urls, cluster)])
+    return pa.table(cols)
+
+
 def cluster_and_assign(
     members: ray.data.Dataset,
     edges: ray.data.Dataset,
@@ -71,48 +110,15 @@ def cluster_and_assign(
     edges = edges.materialize()  # consumed twice (components + kinds)
     mapping = connected_components(edges)
     kinds = _node_kinds(edges)
+    # broadcast ONCE via ray.put; tasks fetch the shared copy through
+    # the worker-singleton below (never re-shipped per task)
     map_ref = ray.put((mapping, kinds))
 
-    class Assign:
-        def __init__(self, ref) -> None:
-            self.mapping, self.kinds = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            urls = t["url"].to_pylist()
-            winners = t["winner_url"].to_pylist()
-            group_n = t["group_n"].to_numpy(zero_copy_only=False)
-            n = len(t)
-            cluster = [self.mapping.get(w, w) for w in winners]
-            kind = []
-            for i in range(n):
-                if urls[i] != winners[i]:
-                    kind.append("exact")
-                elif winners[i] in self.kinds:
-                    kind.append(_RANK_KIND[self.kinds[winners[i]]])
-                elif group_n[i] > 1:
-                    kind.append("exact")
-                else:
-                    kind.append("unique")
-            cols = {
-                "url": t["url"],
-                "cluster_id": pa.array(cluster, type=pa.string()),
-                "kind": pa.array(kind, type=pa.string()),
-                "content_sha256": t["content_sha256"],
-                "n_chars": t["n_chars"],
-                "priority": t["priority"],
-            }
-            if assume_uniform_priority:
-                cols["is_canonical"] = pa.array(
-                    [u == c for u, c in zip(urls, cluster)]
-                )
-            return pa.table(cols)
-
     assigned = members.map_batches(
-        Assign,
-        fn_constructor_args=(map_ref,),
+        _assign_batch,
+        fn_kwargs={"map_ref": map_ref, "uniform": assume_uniform_priority},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
     if assume_uniform_priority:
         return assigned

@@ -215,12 +215,15 @@ def ann_lsh_pairs(
     p_ref = ray.put(planes)
 
     class Bucketer:
+        """Emits SLIM (tbl, bucket, vec_id) rows — the 4-KB embedding
+        payload never rides the n_tables-amplified shuffle."""
+
         def __init__(self, r) -> None:
             self.planes = ray.get(r)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids, m = _batch_matrix(t)
-            tbls, bks, oids, embs = [], [], [], []
+            tbls, bks, oids = [], [], []
             weights = (1 << np.arange(n_bits)).astype(np.int64)
             for ti in range(n_tables):
                 proj = m @ self.planes[ti].T  # (n, bits)
@@ -229,15 +232,11 @@ def ann_lsh_pairs(
                 tbls.append(np.full(len(ids), ti, dtype=np.int64))
                 bks.append(bucket)
                 oids.append(ids)
-                embs.append(m)
             return pa.table(
                 {
                     "tbl": pa.array(np.concatenate(tbls), type=pa.int64()),
                     "bucket": pa.array(np.concatenate(bks), type=pa.int64()),
                     "vec_id": pa.array(np.concatenate(oids), type=pa.int64()),
-                    "embedding": pa.array(
-                        list(np.vstack(embs)), type=pa.list_(pa.float64())
-                    ),
                 }
             )
 
@@ -249,41 +248,60 @@ def ann_lsh_pairs(
         concurrency=(1, 4),
     )
 
-    def within(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
-        )
-        if "vec_id" not in group.column_names or len(group) < 2:
-            return empty
-        ids = group["vec_id"].to_numpy(zero_copy_only=False)
-        emb = group["embedding"].combine_chunks()
-        flat = emb.flatten().to_numpy(zero_copy_only=False)
-        m = flat.reshape(len(group), -1)
-        nn = np.linalg.norm(m, axis=1, keepdims=True)
-        nn[nn == 0] = 1.0
-        m = m / nn
-        cos = m @ m.T
-        iu, jv = np.triu_indices(len(ids), k=1)
-        keep = cos[iu, jv] >= threshold
-        a, b = ids[iu[keep]], ids[jv[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pa.table(
-            {
-                "id_a": pa.array(lo, type=pa.int64()),
-                "id_b": pa.array(hi, type=pa.int64()),
-            }
-        )
+    # vectors come back inside the bucket kernel via a broadcast of the
+    # normalized matrix (small table).  At a scale where the matrix no
+    # longer broadcasts, replace this with the union+groupby attach used
+    # in lsh.verify_pairs (same shuffle volume as carrying vectors once).
+    all_ids, all_m = _collect_matrix(sf_dir)
+    nrm = np.linalg.norm(all_m, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    mat_ref = ray.put((all_ids, all_m / nrm))
+
+    def make_within(ref):
+        state: dict = {}
+
+        def within(group: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                }
+            )
+            if "vec_id" not in group.column_names or len(group) < 2:
+                return empty
+            if "m" not in state:
+                ids_all, m_all = ray.get(ref)
+                state["pos"] = {int(i): p for p, i in enumerate(ids_all)}
+                state["ids"] = ids_all
+                state["m"] = m_all
+            ids = group["vec_id"].to_numpy(zero_copy_only=False)
+            pos = np.array([state["pos"][int(i)] for i in ids], dtype=np.int64)
+            m = state["m"][pos]
+            cos = m @ m.T
+            iu, jv = np.triu_indices(len(ids), k=1)
+            keep = cos[iu, jv] >= threshold
+            a, b = ids[iu[keep]], ids[jv[keep]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            return pa.table(
+                {
+                    "id_a": pa.array(lo, type=pa.int64()),
+                    "id_b": pa.array(hi, type=pa.int64()),
+                }
+            )
+
+        return within
 
     pairs = bucketed.groupby(["tbl", "bucket"]).map_groups(
-        within, batch_format="pyarrow"
+        make_within(mat_ref), batch_format="pyarrow"
     )
 
-    # dedupe across tables
-    def first(group: pa.Table) -> pa.Table:
-        if "id_a" not in group.column_names:
-            return pa.table(
-                {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
-            )
-        return group.select(["id_a", "id_b"]).slice(0, 1)
+    # dedupe across tables: hash aggregate (vectorized) — NOT map_groups,
+    # whose per-group UDF call dominates on thousands of 1-row groups
+    from ray.data.aggregate import Count
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pyarrow")
+    agg = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_n"))
+    return agg.map_batches(
+        lambda t: t.select(["id_a", "id_b"]) if "id_a" in t.column_names else t,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -24,59 +24,82 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 
-def _pick_winner(group: pa.Table) -> pa.Table:
-    """Mark exactly one row per group canonical: min (priority, url)."""
-    n = len(group)
-    if n == 1:
-        return group.append_column("is_canonical", pa.array([True]))
-    prio = group["priority"].to_numpy(zero_copy_only=False)
-    urls = group["url"].to_pylist()
-    best = min(range(n), key=lambda i: (prio[i], urls[i]))
-    mask = np.zeros(n, dtype=bool)
-    mask[best] = True
-    return group.append_column("is_canonical", pa.array(mask))
-
-
 def exact_dedup_groups(
     hashed: ray.data.Dataset, *, num_partitions: int | None = None
 ) -> ray.data.Dataset:
-    """hashed -> assignments(url, content_sha256, n_chars, priority,
-    is_canonical).  One shuffle on content_sha256."""
-    cols = ["url", "content_sha256", "n_chars", "priority"]
-    ds = hashed.select_columns([c for c in cols if c in hashed.schema().names])
-    return ds.groupby("content_sha256", num_partitions=num_partitions).map_groups(
-        _pick_winner, batch_format="pyarrow"
+    """hashed (with text) -> assignments(url, content_sha256, n_chars,
+    priority, is_canonical).  One shuffle on the sha partition hash;
+    winner selection via the vectorized members kernel."""
+    members = exact_members(hashed, num_partitions=num_partitions)
+    return members.map_batches(
+        lambda t: pa.table(
+            {
+                "url": t["url"],
+                "content_sha256": t["content_sha256"],
+                "n_chars": t["n_chars"],
+                "priority": t["priority"],
+                "is_canonical": t["is_exact_winner"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 
-def _members_fn(group: pa.Table) -> pa.Table:
-    """Per-sha group kernel for the flagship path: mark the winner
-    (min (priority, url)), record winner_url + group size on every
-    row, and keep ``text`` ONLY on the winner row (losers' text is
-    byte-identical to the winner's, so dropping it here removes the
-    duplicated payload from everything downstream — the web-scale
-    'dedupe before you minhash' move)."""
-    n = len(group)
-    prio = group["priority"].to_numpy(zero_copy_only=False)
-    urls = group["url"].to_pylist()
-    best = min(range(n), key=lambda i: (prio[i], urls[i]))
-    mask = np.zeros(n, dtype=bool)
-    mask[best] = True
-    winner = urls[best]
-    texts = [group["text"][best].as_py() if m else None for m in mask]
+def _members_kernel(g: pa.Table) -> pa.Table:
+    """Vectorized multi-group winner selection over one hash
+    partition (all rows of any sha are co-located; see core.py).
+
+    Per sha group: winner = min((priority, url)); every row gets
+    winner_url + group size; ``text`` survives ONLY on winner rows
+    (losers' text is byte-identical, so the duplicated payload is
+    dropped at the earliest boundary — the web-scale 'dedupe before
+    you minhash' move)."""
+    shas = np.array(g["content_sha256"].to_pylist(), dtype=object)
+    urls = np.array(g["url"].to_pylist(), dtype=object)
+    prio = g["priority"].to_numpy(zero_copy_only=False)
+    _, inv = np.unique(shas, return_inverse=True)
+    order = np.lexsort((urls, prio, inv))
+    from dedup_ray.core import segments
+
+    starts, lens = segments(inv[order])
+    n = len(g)
+    is_winner_sorted = np.zeros(n, dtype=bool)
+    is_winner_sorted[starts] = True
+    winner_urls_sorted = np.repeat(urls[order][starts], lens)
+    group_n_sorted = np.repeat(lens, lens)
+
+    gt = g.take(pa.array(order))
+    mask = pa.array(is_winner_sorted)
+    import pyarrow.compute as pc
+
     cols = {
-        "url": group["url"],
-        "content_sha256": group["content_sha256"],
-        "n_chars": group["n_chars"],
-        "priority": group["priority"],
-        "winner_url": pa.array([winner] * n, type=pa.string()),
-        "group_n": pa.array([n] * n, type=pa.int64()),
-        "is_exact_winner": pa.array(mask),
-        "text": pa.array(texts, type=pa.string()),
+        "url": gt["url"],
+        "content_sha256": gt["content_sha256"],
+        "n_chars": gt["n_chars"],
+        "priority": gt["priority"],
+        "winner_url": pa.array(winner_urls_sorted, type=pa.string()),
+        "group_n": pa.array(group_n_sorted, type=pa.int64()),
+        "is_exact_winner": mask,
+        "text": pc.if_else(mask, gt["text"], pa.scalar(None, pa.string())),
     }
-    if "lang" in group.column_names:
-        cols["lang"] = group["lang"]
+    if "lang" in g.column_names:
+        cols["lang"] = gt["lang"]
     return pa.table(cols)
+
+
+_MEMBERS_EMPTY = pa.table(
+    {
+        "url": pa.array([], type=pa.string()),
+        "content_sha256": pa.array([], type=pa.string()),
+        "n_chars": pa.array([], type=pa.int64()),
+        "priority": pa.array([], type=pa.int64()),
+        "winner_url": pa.array([], type=pa.string()),
+        "group_n": pa.array([], type=pa.int64()),
+        "is_exact_winner": pa.array([], type=pa.bool_()),
+        "text": pa.array([], type=pa.string()),
+    }
+)
 
 
 def exact_members(
@@ -85,48 +108,20 @@ def exact_members(
     """hashed (WITH text) -> members: url, content_sha256, n_chars,
     priority, winner_url, group_n, is_exact_winner, text (winner only).
 
-    One full-corpus shuffle keyed by content_sha256 — the same shuffle
-    the exact layer needs anyway; the near-dup layers run on winners
-    only, so duplicated text is dropped at the earliest possible
-    boundary."""
-    return hashed.groupby("content_sha256", num_partitions=num_partitions).map_groups(
-        _members_fn, batch_format="pyarrow"
-    )
+    One full-corpus shuffle keyed by the precomputed ``sha_u64``
+    partition hash; winner selection runs as a vectorized kernel per
+    hash partition (NOT per sha group — see core.partitioned_kernel)."""
+    from dedup_ray.core import partitioned_kernel
 
+    def key_hash(t: pa.Table) -> np.ndarray:
+        return t["sha_u64"].to_numpy(zero_copy_only=False).view(np.uint64)
 
-def exact_edges(assignments: ray.data.Dataset) -> ray.data.Dataset:
-    """Star-topology exact-duplicate edges: (winner, loser) per group.
-
-    Star instead of all-pairs keeps edge count linear in group size —
-    union-find only needs connectivity, and the reference's
-    container-first subsumption (A8) is likewise transitive.
-    """
-
-    def to_edges(group: pa.Table) -> pa.Table:
-        if len(group) < 2:
-            return pa.table(
-                {
-                    "u": pa.array([], type=pa.string()),
-                    "v": pa.array([], type=pa.string()),
-                    "kind": pa.array([], type=pa.string()),
-                    "score": pa.array([], type=pa.float64()),
-                }
-            )
-        urls = group["url"].to_pylist()
-        canon = group["is_canonical"].to_numpy(zero_copy_only=False)
-        w = urls[int(np.flatnonzero(canon)[0])]
-        losers = [u for u in urls if u != w]
-        return pa.table(
-            {
-                "u": pa.array([w] * len(losers), type=pa.string()),
-                "v": pa.array(losers, type=pa.string()),
-                "kind": pa.array(["exact"] * len(losers), type=pa.string()),
-                "score": pa.array([1.0] * len(losers), type=pa.float64()),
-            }
-        )
-
-    return assignments.groupby("content_sha256").map_groups(
-        to_edges, batch_format="pyarrow"
+    return partitioned_kernel(
+        hashed,
+        key_hash,
+        _members_kernel,
+        num_partitions=num_partitions or 64,
+        empty_result=_MEMBERS_EMPTY,
     )
 
 

@@ -25,12 +25,20 @@ import ray.data
 def _sha256_batch(batch: pa.Table) -> pa.Table:
     texts = batch["text"].to_pylist()
     sha = hashlib.sha256
-    digests = [sha((t or "").encode("utf-8")).hexdigest() for t in texts]
+    digests = []
+    sha_u64 = []
+    for t in texts:
+        d = sha((t or "").encode("utf-8")).digest()
+        digests.append(d.hex())
+        # int64 view of the first 8 digest bytes: the free, stable
+        # partition-hash used by downstream groupbys (core.py kernels)
+        sha_u64.append(int.from_bytes(d[:8], "little", signed=True))
     n_chars = pc.cast(
         pc.utf8_length(pc.coalesce(batch["text"], pa.scalar("", pa.string()))),
         pa.int64(),
     )
     batch = batch.append_column("content_sha256", pa.array(digests, type=pa.string()))
+    batch = batch.append_column("sha_u64", pa.array(sha_u64, type=pa.int64()))
     return batch.append_column("n_chars", n_chars)
 
 

@@ -2,27 +2,33 @@
 handling (SURVEY.md §2B B9, B10, B12; BASELINE.json:6,14).
 
 Shape of the computation (all Ray Data, slim rows through every
-shuffle):
+shuffle, every grouped step a VECTORIZED partition kernel — see
+core.partitioned_kernel for why per-group map_groups is avoided):
 
   signatures ──lsh_bands──▶ band_rows (band_id, band_hash, url)   [x bands]
-      band_rows ──count──▶ hot buckets (> bucket_cap)             [small]
+      band_rows ──count kernel──▶ hot buckets (> bucket_cap)      [small]
       band_rows + broadcast hot set ──salt──▶ salted band rows
-      groupby (band_id, band_hash, salt) ──▶ candidate pairs (u, v)
-      groupby (u, v) ──▶ distinct pairs                           [dedup across bands]
-      pairs ⨝ signatures (on u) ⨝ signatures (on v) ──▶ verify est-Jaccard
+      (band_id, band_hash, salt) kernel ──▶ candidate pairs (u, v)
+      (u, v) kernel ──▶ distinct pairs                            [dedup across bands]
+      union + url kernel + (u, v) kernel ──▶ verified est-Jaccard edges
 
 Design decisions, with the 100-TB rationale:
   - Band rows do NOT carry the 1-KB signature (32 bands would amplify
-    shuffle volume 32x); verification instead re-joins the signatures
-    table twice — two hash-partitioned joins of (pairs x 1KB sigs).
-  - Buckets bigger than ``bucket_cap`` (boilerplate shingle buckets)
-    are SALTED: members split into sub-buckets of <= cap by a stable
-    hash of url; within-salt pairs are emitted all-pairs (bounded by
-    cap^2) and cross-salt connectivity is restored by a star over the
-    per-salt representatives (min url).  Every capped bucket is
-    COUNTED and returned to the caller (logged, never silent).
-  - Pair rows are canonicalized (u < v) and deduplicated across bands
-    before the expensive verify joins.
+    shuffle volume 32x); verification re-attaches signatures via the
+    union+groupby shuffle-join decomposition (same volume as a hash
+    join; Ray 2.49's acero join breaks on lazy schemas + empty
+    partitions and rejects fixed_size_list payloads).
+  - Buckets bigger than ``bucket_cap`` (boilerplate shingles) are
+    SALTED into sub-buckets by a stable url hash; every capped bucket
+    is counted and logged — never silently truncated.
+  - Pair topology is HYBRID: all-pairs for small buckets (size <=
+    star_threshold, precise), star-to-min for larger ones — keeps
+    pair volume O(n) per bucket.  Star relies on union-find
+    transitivity + per-edge verification: a tight near-dup cluster
+    verifies member-center edges; a boilerplate bucket wastes only
+    n-1 verifications instead of n^2/2.
+  - Pairs are canonicalized (u < v) and deduplicated across bands
+    before the verification shuffle.
 """
 
 from __future__ import annotations
@@ -34,13 +40,31 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count
 
 from dedup_ray.config import DedupConfig
+from dedup_ray.core import (
+    default_pool_size,
+    hash_strings_u64,
+    numeric_key_u64,
+    partitioned_kernel,
+    segments,
+)
 from dedup_ray.util import combine_rows_u64, u64_matrix_to_binary
+
+#: buckets up to this size emit all pairs; larger ones a star to min
+STAR_THRESHOLD = 8
 
 _EMPTY_PAIRS = pa.table(
     {"u": pa.array([], type=pa.string()), "v": pa.array([], type=pa.string())}
+)
+
+_EMPTY_EDGES = pa.table(
+    {
+        "u": pa.array([], type=pa.string()),
+        "v": pa.array([], type=pa.string()),
+        "kind": pa.array([], type=pa.string()),
+        "score": pa.array([], type=pa.float64()),
+    }
 )
 
 
@@ -79,10 +103,9 @@ def lsh_bands(signatures: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Datase
         return pa.table(
             {
                 "band_id": pa.array(band_ids, type=pa.int32()),
-                # int64 REINTERPRET of the uint64 hash: Ray 2.49's sort
-                # boundary sampling overflows python-int uint64 values
-                # into pickled-object arrays; grouping only needs
-                # equality, which the bit view preserves
+                # int64 REINTERPRET of the uint64 hash: uint64 groupby
+                # keys overflow Ray's sort-boundary sampling into
+                # pickled-object fallback; grouping only needs equality
                 "band_hash": pa.array(bh.view(np.int64), type=pa.int64()),
                 "url": pa.array(urls, type=pa.string()),
             }
@@ -91,31 +114,61 @@ def lsh_bands(signatures: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Datase
     return signatures.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def find_hot_buckets(
-    band_rows: ray.data.Dataset, cfg: DedupConfig
-) -> tuple[dict[tuple[int, int], int], list[dict]]:
-    """Count bucket sizes; return ({(band_id, band_hash): n_salts}, log).
+_BUCKET_KEY_COLS = ["band_id", "band_hash"]
 
-    The hot set is by definition small (buckets above cap), so
-    collecting it on the driver for broadcast is safe at any scale —
-    this is the two-pass skew strategy from SURVEY.md §4.  Every capped
-    bucket is logged (band, hash, size, salts): no silent truncation.
+
+def find_hot_buckets(
+    band_rows: ray.data.Dataset, cfg: DedupConfig, *, num_partitions: int | None = None
+) -> tuple[dict[tuple[int, int], int], list[dict]]:
+    """Count bucket sizes (vectorized partition kernel, not a Ray
+    aggregate); return ({(band_id, band_hash): n_salts}, log).
+
+    The hot set is small by definition (buckets above cap), so
+    collecting it for broadcast is safe at any scale — the two-pass
+    skew strategy of SURVEY.md §4.  Every capped bucket is logged:
+    no silent truncation.
     """
-    sizes = band_rows.groupby(["band_id", "band_hash"]).aggregate(
-        Count(alias_name="n")
+    cap = cfg.bucket_cap
+    empty = pa.table(
+        {
+            "band_id": pa.array([], type=pa.int32()),
+            "band_hash": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+        }
     )
-    hot_tbl = sizes.map_batches(
-        lambda t: t.filter(pc.greater(t["n"], cfg.bucket_cap)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+
+    def kernel(g: pa.Table) -> pa.Table:
+        k = numeric_key_u64(g, _BUCKET_KEY_COLS)
+        order = np.argsort(k, kind="stable")
+        starts, lens = segments(k[order])
+        hot = lens > cap
+        if not hot.any():
+            return empty
+        idx = order[starts[hot]]
+        return pa.table(
+            {
+                "band_id": g["band_id"].take(pa.array(idx)),
+                "band_hash": g["band_hash"].take(pa.array(idx)),
+                "n": pa.array(lens[hot], type=pa.int64()),
+            }
+        )
+
+    hot_tbl = partitioned_kernel(
+        band_rows,
+        lambda t: numeric_key_u64(t, _BUCKET_KEY_COLS),
+        kernel,
+        num_partitions=num_partitions or 64,
+        empty_result=empty,
     )
     hot: dict[tuple[int, int], int] = {}
     log: list[dict] = []
     for b in hot_tbl.iter_batches(batch_format="pyarrow", batch_size=65536):
+        if "band_id" not in b.column_names:
+            continue
         for band_id, band_hash, n in zip(
             b["band_id"].to_pylist(), b["band_hash"].to_pylist(), b["n"].to_pylist()
         ):
-            n_salts = -(-n // cfg.bucket_cap)
+            n_salts = -(-n // cap)
             hot[(band_id, band_hash)] = n_salts
             log.append(
                 {
@@ -135,9 +188,12 @@ class _Salter:
     def __init__(self, hot_ref) -> None:
         self.hot: dict[tuple[int, int], int] = ray.get(hot_ref)
         if self.hot:
-            # combined key: golden-ratio-mixed band_id XOR band_hash
             self._hot_keys = np.array(
-                [np.uint64(b) * np.uint64(0x9E3779B97F4A7C15) ^ np.uint64(h) for (b, h) in self.hot],
+                [
+                    np.uint64(b) * np.uint64(0x9E3779B97F4A7C15)
+                    ^ np.uint64(h & 0xFFFFFFFFFFFFFFFF)
+                    for (b, h) in self.hot
+                ],
                 dtype=np.uint64,
             )
             self._hot_salts = np.array(list(self.hot.values()), dtype=np.uint64)
@@ -169,106 +225,215 @@ class _Salter:
         return t.append_column("is_hot", pa.array(is_hot))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _worker_pair_url_set(ref) -> set:
+    return ray.get(ref)
+
+
+@functools.lru_cache(maxsize=8)
+def _worker_salter(hot_ref) -> _Salter:
+    """Per-worker-process singleton keyed on the broadcast ObjectRef
+    (see minhash._worker_hasher for the pattern rationale)."""
+    return _Salter(hot_ref)
+
+
+def _salt_batch(t: pa.Table, hot_ref) -> pa.Table:
+    return _worker_salter(hot_ref)(t)
+
+
 def salt_band_rows(
     band_rows: ray.data.Dataset,
     hot: dict[tuple[int, int], int],
     cfg: DedupConfig,
 ) -> ray.data.Dataset:
-    """Append a ``salt`` column: 0 for normal buckets; stable
-    ``hash(url) % n_salts`` for hot buckets (broadcast via ray.put)."""
+    """Append ``salt`` (0 for normal buckets; stable hash(url) %
+    n_salts for hot ones) and ``is_hot``.  The hot map is broadcast
+    once via ray.put and read per worker (zero-copy shm); stateless
+    tasks, worker-singleton state."""
     hot_ref = ray.put(hot)
     return band_rows.map_batches(
-        _Salter,
-        fn_constructor_args=(hot_ref,),
+        _salt_batch,
+        fn_kwargs={"hot_ref": hot_ref},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
+
+
+_SALTED_KEY_COLS = ["band_id", "band_hash", "salt"]
+
+
+def _pairs_from_sorted_urls(urls_sorted: np.ndarray, starts, lens, star_threshold: int):
+    """Pair emission over pre-sorted segments: all-pairs for small
+    segments, star-to-first for large ones.  Returns (us, vs) object
+    arrays."""
+    us_parts, vs_parts = [], []
+    for s, L in zip(starts.tolist(), lens.tolist()):
+        if L < 2:
+            continue
+        seg = urls_sorted[s : s + L]
+        if L <= star_threshold:
+            iu, jv = np.triu_indices(L, k=1)
+            us_parts.append(seg[iu])
+            vs_parts.append(seg[jv])
+        else:
+            us_parts.append(np.repeat(seg[:1], L - 1))
+            vs_parts.append(seg[1:])
+    if not us_parts:
+        return np.empty(0, dtype=object), np.empty(0, dtype=object)
+    return np.concatenate(us_parts), np.concatenate(vs_parts)
 
 
 def bucket_candidate_pairs(
     salted: ray.data.Dataset, cfg: DedupConfig, *, num_partitions: int | None = None
 ) -> ray.data.Dataset:
-    """groupby (band_id, band_hash, salt) -> candidate pair rows.
+    """(band_id, band_hash, salt) partition kernel -> candidate pairs,
+    plus rep-star pairs reconnecting the salt groups of hot buckets."""
 
-    Within a (post-salt, <= ~cap sized) bucket: all-pairs via
-    ``np.triu_indices`` on the sorted member list (canonical u < v).
-    For salted buckets a second tiny groupby star-connects the per-salt
-    representatives (min url) of each original bucket.
-    """
-
-    def pairs_fn(group: pa.Table) -> pa.Table:
-        urls = np.sort(group["url"].to_numpy(zero_copy_only=False))
-        n = len(urls)
-        if n < 2:
+    def pair_kernel(g: pa.Table) -> pa.Table:
+        # numeric-only global sort (C argsort on uint64); member urls
+        # are sorted PER QUALIFYING SEGMENT only — a global object-array
+        # lexsort costs ~1.5s per 260k-row partition and buckets with
+        # >= 2 members are a tiny fraction
+        k = numeric_key_u64(g, _SALTED_KEY_COLS)
+        order = np.argsort(k, kind="stable")
+        starts, lens = segments(k[order])
+        multi = lens >= 2
+        if not multi.any():
             return _EMPTY_PAIRS
-        iu, jv = np.triu_indices(n, k=1)
+        urls = np.array(g["url"].to_pylist(), dtype=object)[order]
+        us_parts, vs_parts = [], []
+        for s, L in zip(starts[multi].tolist(), lens[multi].tolist()):
+            seg = np.sort(urls[s : s + L])
+            if L <= STAR_THRESHOLD:
+                iu, jv = np.triu_indices(L, k=1)
+                us_parts.append(seg[iu])
+                vs_parts.append(seg[jv])
+            else:
+                us_parts.append(np.repeat(seg[:1], L - 1))
+                vs_parts.append(seg[1:])
         return pa.table(
             {
-                "u": pa.array(urls[iu], type=pa.string()),
-                "v": pa.array(urls[jv], type=pa.string()),
+                "u": pa.array(np.concatenate(us_parts), type=pa.string()),
+                "v": pa.array(np.concatenate(vs_parts), type=pa.string()),
             }
         )
 
-    pairs = salted.groupby(
-        ["band_id", "band_hash", "salt"], num_partitions=num_partitions
-    ).map_groups(pairs_fn, batch_format="pyarrow")
+    pairs = partitioned_kernel(
+        salted,
+        lambda t: numeric_key_u64(t, _SALTED_KEY_COLS),
+        pair_kernel,
+        num_partitions=num_partitions or 64,
+        empty_result=_EMPTY_PAIRS,
+    )
 
-    # cross-salt star edges: only rows of HOT buckets participate (a
-    # normal bucket has a single salt group, nothing to reconnect), so
-    # this path is tiny.  Representative = min url per salt group, via
-    # map_groups (NOT the Min aggregate: Ray's string Min yields a
-    # pickled-object extension column that breaks downstream sorts).
+    # cross-salt reconnection: hot rows only (tiny).  Kernel 1 emits
+    # the min-url representative per (band, hash, salt); kernel 2
+    # stars the reps of each (band, hash).
+    hot_empty = pa.table(
+        {
+            "band_id": pa.array([], type=pa.int32()),
+            "band_hash": pa.array([], type=pa.int64()),
+            "url": pa.array([], type=pa.string()),
+            "salt": pa.array([], type=pa.int32()),
+            "is_hot": pa.array([], type=pa.bool_()),
+        }
+    )
     hot_rows = salted.map_batches(
-        lambda t: t.filter(t["is_hot"].combine_chunks()),
+        lambda t: t.filter(t["is_hot"].combine_chunks())
+        if "is_hot" in t.column_names
+        else hot_empty,
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
 
-    def rep_row(group: pa.Table) -> pa.Table:
-        rep = min(group["url"].to_pylist())
-        return pa.table(
-            {
-                "band_id": group["band_id"][:1],
-                "band_hash": group["band_hash"][:1],
-                "rep": pa.array([rep], type=pa.string()),
-            }
-        )
-
-    reps = hot_rows.groupby(["band_id", "band_hash", "salt"]).map_groups(
-        rep_row, batch_format="pyarrow"
+    rep_empty = pa.table(
+        {
+            "band_id": pa.array([], type=pa.int32()),
+            "band_hash": pa.array([], type=pa.int64()),
+            "rep": pa.array([], type=pa.string()),
+        }
     )
 
-    def rep_star(group: pa.Table) -> pa.Table:
-        urls = np.sort(group["rep"].to_numpy(zero_copy_only=False))
-        if len(urls) < 2:
-            return _EMPTY_PAIRS
+    def rep_kernel(g: pa.Table) -> pa.Table:
+        k = numeric_key_u64(g, _SALTED_KEY_COLS)
+        urls = np.array(g["url"].to_pylist(), dtype=object)
+        order = np.lexsort((urls, k))
+        starts, _lens = segments(k[order])
+        idx = order[starts]
         return pa.table(
             {
-                "u": pa.array([str(urls[0])] * (len(urls) - 1), type=pa.string()),
-                "v": pa.array(urls[1:], type=pa.string()),
+                "band_id": g["band_id"].take(pa.array(idx)),
+                "band_hash": g["band_hash"].take(pa.array(idx)),
+                "rep": pa.array(urls[idx], type=pa.string()),
             }
         )
 
-    rep_pairs = reps.groupby(["band_id", "band_hash"]).map_groups(
-        rep_star, batch_format="pyarrow"
+    reps = partitioned_kernel(
+        hot_rows,
+        lambda t: numeric_key_u64(t, _SALTED_KEY_COLS),
+        rep_kernel,
+        num_partitions=16,
+        empty_result=rep_empty,
+    )
+
+    def star_kernel(g: pa.Table) -> pa.Table:
+        k = numeric_key_u64(g, _BUCKET_KEY_COLS)
+        urls = np.array(g["rep"].to_pylist(), dtype=object)
+        order = np.lexsort((urls, k))
+        starts, lens = segments(k[order])
+        us, vs = _pairs_from_sorted_urls(urls[order], starts, lens, 1)
+        return pa.table(
+            {
+                "u": pa.array(us, type=pa.string()),
+                "v": pa.array(vs, type=pa.string()),
+            }
+        )
+
+    rep_pairs = partitioned_kernel(
+        reps,
+        lambda t: numeric_key_u64(t, _BUCKET_KEY_COLS),
+        star_kernel,
+        num_partitions=16,
+        empty_result=_EMPTY_PAIRS,
     )
     return pairs.union(rep_pairs)
 
 
-def dedupe_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
-    """Distinct (u, v) with the number of supporting collisions."""
-    return pairs.groupby(["u", "v"]).aggregate(Count(alias_name="n_bands"))
+def _pair_key_hash(t: pa.Table) -> np.ndarray:
+    us = t["u"].to_pylist()
+    vs = t["v"].to_pylist()
+    return hash_strings_u64([f"{a}\x00{b}" for a, b in zip(us, vs)])
 
 
-_EMPTY_EDGES = pa.table(
-    {
-        "u": pa.array([], type=pa.string()),
-        "v": pa.array([], type=pa.string()),
-        "kind": pa.array([], type=pa.string()),
-        "score": pa.array([], type=pa.float64()),
-    }
-)
+def dedupe_pairs(
+    pairs: ray.data.Dataset, *, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Distinct (u, v) via a vectorized unique kernel."""
+
+    def kernel(g: pa.Table) -> pa.Table:
+        us = np.array(g["u"].to_pylist(), dtype=object)
+        vs = np.array(g["v"].to_pylist(), dtype=object)
+        combined = np.array(
+            [f"{a}\x00{b}" for a, b in zip(us.tolist(), vs.tolist())], dtype=object
+        )
+        _, first_idx = np.unique(combined, return_index=True)
+        return pa.table(
+            {
+                "u": pa.array(us[first_idx], type=pa.string()),
+                "v": pa.array(vs[first_idx], type=pa.string()),
+            }
+        )
+
+    return partitioned_kernel(
+        pairs,
+        _pair_key_hash,
+        kernel,
+        num_partitions=num_partitions or 64,
+        empty_result=_EMPTY_PAIRS,
+    )
 
 
 def verify_pairs(
@@ -282,21 +447,29 @@ def verify_pairs(
     whose estimated Jaccard (fraction of agreeing components) >=
     cfg.verify_tau.
 
-    Implemented as UNION + two GROUPBYs (the classic shuffle-join
-    decomposition) rather than ``Dataset.join``: Ray 2.49's acero-based
-    join breaks on empty hash partitions when the left schema is
-    lazily unknown, and the groupby path handles that fine while
-    shuffling the same volume.  Phase 1 routes each pair row to its
-    member urls alongside the signature rows (shuffle key: url);
-    phase 2 reassembles per pair (shuffle key: (u, v)).
-
-    Scale note: signatures flow through the shuffle once per side
-    (2x 1KB/doc touched by any candidate), NOT once per band row
-    (32x) — same volume as a hash join would move.
+    UNION + two vectorized partition kernels (shuffle-join
+    decomposition): phase 1 keys on url (sig row + member rows
+    co-located), phase 2 reassembles per (u, v).  Signatures flow
+    through the shuffle once per side — not once per band row.
     """
+    P = num_partitions or 64
     num_perms = cfg.num_perms
 
+    # broadcast-filter the signature side to urls that occur in a
+    # candidate pair: the pair-url set is orders of magnitude smaller
+    # than the corpus, so the 1KB-per-doc signature payload of
+    # untouched docs never enters the exchange
+    pair_url_set: set[str] = set()
+    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=65536):
+        if "u" in b.column_names:
+            pair_url_set.update(b["u"].to_pylist())
+            pair_url_set.update(b["v"].to_pylist())
+    purl_ref = ray.put(pair_url_set)
+
     def sig_rows(t: pa.Table) -> pa.Table:
+        urls_needed = _worker_pair_url_set(purl_ref)
+        keep = pa.array([u in urls_needed for u in t["url"].to_pylist()])
+        t = t.filter(keep)
         sig = t["minhash"].combine_chunks()
         flat = sig.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
         mat = flat.reshape(len(t), num_perms)
@@ -315,7 +488,6 @@ def verify_pairs(
         u = t["u"].combine_chunks()
         v = t["v"].combine_chunks()
         n = len(t)
-        none_sig = pa.nulls(2 * n, type=pa.binary())
         return pa.table(
             {
                 "gkey": pa.concat_arrays([u, v]),
@@ -326,7 +498,7 @@ def verify_pairs(
                         [np.zeros(n, dtype=np.int32), np.ones(n, dtype=np.int32)]
                     )
                 ),
-                "sig": none_sig,
+                "sig": pa.nulls(2 * n, type=pa.binary()),
             }
         )
 
@@ -338,62 +510,109 @@ def verify_pairs(
         )
     )
 
-    def attach(group: pa.Table) -> pa.Table:
-        slots = group["slot"].to_numpy(zero_copy_only=False)
-        sig_idx = np.flatnonzero(slots == -1)
-        member = np.flatnonzero(slots >= 0)
-        if len(sig_idx) == 0 or len(member) == 0:
-            return pa.table(
-                {
-                    "u": pa.array([], type=pa.string()),
-                    "v": pa.array([], type=pa.string()),
-                    "slot": pa.array([], type=pa.int32()),
-                    "sig": pa.array([], type=pa.binary()),
-                }
-            )
-        sig_val = group["sig"][int(sig_idx[0])].as_py()
-        m = len(member)
-        member_mask = pa.array(slots >= 0)
+    attach_empty = pa.table(
+        {
+            "u": pa.array([], type=pa.string()),
+            "v": pa.array([], type=pa.string()),
+            "slot": pa.array([], type=pa.int32()),
+            "sig": pa.array([], type=pa.binary()),
+        }
+    )
+
+    def attach_kernel(g: pa.Table) -> pa.Table:
+        """Per url segment: copy the slot=-1 row's sig onto member
+        rows — fully vectorized via segment-start gathers."""
+        gkeys = np.array(g["gkey"].to_pylist(), dtype=object)
+        slots = g["slot"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((slots, gkeys))  # sig row (-1) first per segment
+        gs = gkeys[order]
+        starts, lens = segments_obj(gs)
+        slots_sorted = slots[order]
+        has_sig = slots_sorted[starts] == -1
+        # for each row: index (into sorted order) of its segment start
+        seg_id = np.repeat(np.arange(len(starts)), lens)
+        seg_start_sorted = starts[seg_id]
+        member_mask = slots_sorted >= 0
+        keep = member_mask & has_sig[seg_id]
+        if not keep.any():
+            return attach_empty
+        take_rows = pa.array(order[keep])
+        sig_src = pa.array(order[seg_start_sorted[keep]])
         return pa.table(
             {
-                "u": group["u"].filter(member_mask),
-                "v": group["v"].filter(member_mask),
-                "slot": group["slot"].filter(member_mask),
-                "sig": pa.array([sig_val] * m, type=pa.binary()),
+                "u": g["u"].take(take_rows),
+                "v": g["v"].take(take_rows),
+                "slot": g["slot"].take(take_rows),
+                "sig": g["sig"].take(sig_src),
             }
         )
 
-    attached = tall.groupby("gkey", num_partitions=num_partitions).map_groups(
-        attach, batch_format="pyarrow"
+    attached = partitioned_kernel(
+        tall,
+        lambda t: hash_strings_u64(t["gkey"].to_pylist()),
+        attach_kernel,
+        num_partitions=P,
+        empty_result=attach_empty,
     )
 
     tau = cfg.verify_tau
 
-    def verify(group: pa.Table) -> pa.Table:
-        if len(group) != 2:
+    def verify_kernel(g: pa.Table) -> pa.Table:
+        """Per (u, v) segment: expect slots {0, 1}; est Jaccard via a
+        single vectorized signature comparison across all pairs."""
+        us = np.array(g["u"].to_pylist(), dtype=object)
+        vs = np.array(g["v"].to_pylist(), dtype=object)
+        slots = g["slot"].to_numpy(zero_copy_only=False)
+        combined = np.array(
+            [f"{a}\x00{b}" for a, b in zip(us.tolist(), vs.tolist())], dtype=object
+        )
+        order = np.lexsort((slots, combined))
+        starts, lens = segments_obj(combined[order])
+        ok = lens == 2
+        if not ok.any():
             return _EMPTY_EDGES
-        slots = group["slot"].to_numpy(zero_copy_only=False)
-        if set(slots.tolist()) != {0, 1}:
+        s = starts[ok]
+        slots_sorted = slots[order]
+        ok2 = (slots_sorted[s] == 0) & (slots_sorted[s + 1] == 1)
+        s = s[ok2]
+        if len(s) == 0:
             return _EMPTY_EDGES
-        su = np.frombuffer(group["sig"][0].as_py(), dtype=np.uint64)
-        sv = np.frombuffer(group["sig"][1].as_py(), dtype=np.uint64)
-        if slots[0] == 1:
-            su, sv = sv, su
-        est = float((su == sv).mean())
-        if est < tau:
+        from dedup_ray.util import binary_to_u64_matrix
+
+        sig_sorted = g["sig"].take(pa.array(order))
+        mats = binary_to_u64_matrix(sig_sorted, num_perms)
+        est = (mats[s] == mats[s + 1]).mean(axis=1)
+        keep = est >= tau
+        if not keep.any():
             return _EMPTY_EDGES
+        rows = order[s[keep]]
         return pa.table(
             {
-                "u": group["u"][:1],
-                "v": group["v"][:1],
-                "kind": pa.array(["minhash"], type=pa.string()),
-                "score": pa.array([est], type=pa.float64()),
+                "u": g["u"].take(pa.array(rows)),
+                "v": g["v"].take(pa.array(rows)),
+                "kind": pa.array(["minhash"] * int(keep.sum()), type=pa.string()),
+                "score": pa.array(est[keep], type=pa.float64()),
             }
         )
 
-    return attached.groupby(["u", "v"], num_partitions=num_partitions).map_groups(
-        verify, batch_format="pyarrow"
+    return partitioned_kernel(
+        attached,
+        _pair_key_hash,
+        verify_kernel,
+        num_partitions=P,
+        empty_result=_EMPTY_EDGES,
     )
+
+
+def segments_obj(sorted_vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """segments() for object (string) arrays already in sorted order."""
+    n = len(sorted_vals)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    change = np.flatnonzero(sorted_vals[1:] != sorted_vals[:-1]) + 1
+    starts = np.concatenate([[0], change]).astype(np.int64)
+    lens = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+    return starts, lens
 
 
 def minhash_edges(
@@ -403,8 +622,11 @@ def minhash_edges(
     distinct pairs -> signature verification.  Returns (edges,
     hot-bucket log)."""
     bands = lsh_bands(signatures, cfg).materialize()  # consumed twice
-    hot, log = find_hot_buckets(bands, cfg)
+    hot, log = find_hot_buckets(bands, cfg, num_partitions=cfg.num_partitions)
     salted = salt_band_rows(bands, hot, cfg)
-    pairs = dedupe_pairs(bucket_candidate_pairs(salted, cfg))
-    edges = verify_pairs(pairs, signatures, cfg)
+    pairs = dedupe_pairs(
+        bucket_candidate_pairs(salted, cfg, num_partitions=cfg.num_partitions),
+        num_partitions=cfg.num_partitions,
+    )
+    edges = verify_pairs(pairs, signatures, cfg, num_partitions=cfg.num_partitions)
     return edges, log

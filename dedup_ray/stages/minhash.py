@@ -2,87 +2,183 @@
 MinHash as a stateful ACTOR-POOL map_batches stage.
 
 Actor-pool pattern (BASELINE.json:15): permutation parameters and the
-token-hash cache are built ONCE per worker in ``__init__`` from the
-config seed; ``__call__`` does the per-batch vectorized work.  The
-signature math is fully vectorized: one ``np.minimum.reduceat`` pass
-per permutation over the batch's concatenated shingle hashes — no
-per-document Python loop in the reduction.
+unique-token hash cache are built ONCE per worker in ``__init__`` from
+the config seed; ``__call__`` does the per-batch work with NO
+per-document or per-token Python loop on the hot path:
 
-Also provides SimHash (64-bit) as the alternative signature named in
-the north rule, computed from the same shingle hashes for free.
+  1. tokenization: arrow kernels (utf8_lower + split_pattern_regex) —
+     the canonical token definition for the whole engine (oracle
+     included) is "non-empty runs of RE2 \\w";
+  2. token hashing: the flat token array is DICTIONARY-ENCODED (one C
+     pass); only UNIQUE tokens are blake2b-hashed (cached across
+     batches — web text is Zipfian, so the cache hit rate approaches
+     1), then a single numpy take maps hashes back to positions;
+  3. shingling: the k-window polynomial is computed globally with k
+     shifted multiply-adds and masked at document boundaries; only
+     docs shorter than k tokens (rare) take a tiny Python loop;
+  4. MinHash: one ``np.minimum.reduceat`` pass per permutation;
+  5. SimHash: vectorized bit-count ``np.add.reduceat`` over the same
+     shingle hashes.
 """
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from dedup_ray.config import DedupConfig
-from dedup_ray.util import TokenHasher, minhash_perms, minhash_signatures, shingle_hashes
+from dedup_ray.core import default_pool_size
+from dedup_ray.util import (
+    _POLY_C,
+    blake2b_u64,
+    minhash_perms,
+    minhash_signatures,
+    splitmix64,
+)
 
-_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+_SPLIT_PATTERN = r"[^\w]+"
 
 
 def tokenize(text: str, normalize: bool = True) -> list[str]:
+    """Canonical tokenization (single-string convenience wrapper around
+    the same arrow kernels the batch path uses — MUST stay identical to
+    MinHasher's tokenization for the brute-force oracle to define the
+    same shingle sets)."""
+    arr = pa.array([text or ""], type=pa.string())
     if normalize:
-        text = text.lower()
-    return _TOKEN_RE.findall(text)
+        arr = pc.utf8_lower(arr)
+    toks = pc.split_pattern_regex(arr, pattern=_SPLIT_PATTERN)[0].as_py()
+    return [t for t in toks if t]
 
 
 class MinHasher:
-    """Callable class for ``map_batches(MinHasher, concurrency=N,
+    """Callable class for ``map_batches(MinHasher, concurrency=(1, N),
     fn_constructor_args=(cfg,))``.
 
     Output columns: url, n_shingles, minhash (list<uint64>[num_perms]),
-    simhash64 (uint64); passthrough: content_sha256, n_chars, priority
-    when present.
+    simhash64 (int64 reinterpret); passthrough: content_sha256,
+    n_chars, priority, lang when present.
     """
 
     def __init__(self, cfg: DedupConfig) -> None:
         self.cfg = cfg
-        self.hasher = TokenHasher(seed=cfg.seed)
         self.a, self.b = minhash_perms(cfg.num_perms, cfg.seed + 1)
-        # per-bit weight vector for simhash: bit j of shingle hash
-        self._bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        self._token_cache: dict[str, int] = {}
+        self._bit_shifts = np.arange(64, dtype=np.uint64)
 
-    def _shingles(self, text: str) -> np.ndarray:
-        toks = tokenize(text or "", self.cfg.normalize)
-        th = self.hasher.hash_tokens(toks)
-        return shingle_hashes(th, self.cfg.shingle_k)
+    # ---- vectorized sub-steps --------------------------------------
+    def _token_hashes(self, texts) -> tuple[np.ndarray, np.ndarray]:
+        """-> (flat token hashes uint64, tokens-per-doc int64)."""
+        arr = pc.coalesce(texts, pa.scalar("", pa.string()))
+        if self.cfg.normalize:
+            arr = pc.utf8_lower(arr)
+        toks = pc.split_pattern_regex(arr, pattern=_SPLIT_PATTERN)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        enc = flat.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary.to_pylist()
+        cache = self._token_cache
+        seed = self.cfg.seed
+        uh = np.empty(len(uniq), dtype=np.uint64)
+        empty_code = -1
+        for i, tok in enumerate(uniq):
+            if tok == "":
+                empty_code = i
+                uh[i] = 0
+                continue
+            v = cache.get(tok)
+            if v is None:
+                v = blake2b_u64(tok.encode("utf-8", "surrogatepass"), seed=seed)
+                cache[tok] = v
+            uh[i] = v
+        th_all = uh[idx]
+        doc_id = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        if empty_code >= 0:
+            keep = idx != empty_code
+            th_all = th_all[keep]
+            doc_id = doc_id[keep]
+        counts = np.bincount(doc_id, minlength=len(lens)).astype(np.int64)
+        return th_all, counts
 
-    def _simhash(self, sh: np.ndarray) -> int:
-        if len(sh) == 0:
-            return 0
-        # vectorized popcount-style accumulation: for each of 64 bits,
-        # count shingles with the bit set; bit set in result iff count
-        # exceeds half
-        counts = np.zeros(64, dtype=np.int64)
-        for j in range(64):
-            counts[j] = int(((sh >> np.uint64(j)) & np.uint64(1)).sum())
-        bits = counts * 2 > len(sh)
-        return int(self._bits[bits].sum(dtype=np.uint64))
+    def _shingles(
+        self, th: np.ndarray, counts: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Global windowed polynomial with boundary masking.
+        -> (all shingle hashes doc-major, shingles-per-doc)."""
+        n_docs = len(counts)
+        n_sh = np.where(counts == 0, 0, np.where(counts < k, 1, counts - k + 1))
+        total = int(n_sh.sum())
+        out = np.empty(total, dtype=np.uint64)
+        if len(th) == 0:
+            return out, n_sh
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        m = len(th) - k + 1
+        if m > 0:
+            with np.errstate(over="ignore"):
+                acc = np.zeros(m, dtype=np.uint64)
+                for j in range(k):
+                    acc = acc * _POLY_C + th[j : j + m]
+            valid = doc_of[:m] == doc_of[k - 1 :]
+            long_windows = splitmix64(acc[valid])
+        else:
+            long_windows = np.empty(0, dtype=np.uint64)
+        out_starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]]).astype(np.int64)
+        is_short = (counts > 0) & (counts < k)
+        slot_mask = np.ones(total, dtype=bool)
+        short_slots = out_starts[is_short]
+        slot_mask[short_slots] = False
+        out[slot_mask] = long_windows
+        if is_short.any():
+            tok_starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+            with np.errstate(over="ignore"):
+                for d in np.flatnonzero(is_short).tolist():
+                    s, c = tok_starts[d], counts[d]
+                    acc1 = np.zeros(1, dtype=np.uint64)
+                    for j in range(c):
+                        acc1 = acc1 * _POLY_C + th[s + j]
+                    out[out_starts[d]] = splitmix64(acc1)[0]
+        return out, n_sh
+
+    def _simhash(
+        self, all_sh: np.ndarray, offsets: np.ndarray, n_sh: np.ndarray
+    ) -> np.ndarray:
+        """Vectorized per-doc SimHash over the shingle hashes."""
+        n_docs = len(n_sh)
+        if len(all_sh) == 0:
+            return np.zeros(n_docs, dtype=np.uint64)
+        # unpackbits on the little-endian byte view: (n, 64) uint8 in one
+        # C pass (a uint64 shift broadcast would materialize 8x the
+        # memory and dominates the whole stage)
+        bits = np.unpackbits(
+            np.ascontiguousarray(all_sh).view(np.uint8).reshape(-1, 8),
+            axis=1,
+            bitorder="little",
+        ).astype(np.int32)
+        safe = np.minimum(offsets, len(all_sh) - 1)
+        counts = np.add.reduceat(bits, safe, axis=0)
+        counts[n_sh == 0] = 0
+        majority = counts * 2 > n_sh[:, None]
+        weights = np.uint64(1) << self._bit_shifts
+        with np.errstate(over="ignore"):
+            return (majority * weights).sum(axis=1, dtype=np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        per_doc = [self._shingles(t) for t in texts]
-        offsets = np.zeros(len(per_doc), dtype=np.int64)
-        lengths = np.array([len(s) for s in per_doc], dtype=np.int64)
-        if len(per_doc):
-            offsets[1:] = np.cumsum(lengths)[:-1]
-        all_sh = (
-            np.concatenate(per_doc) if per_doc else np.empty(0, dtype=np.uint64)
-        )
+        th, counts = self._token_hashes(batch["text"])
+        all_sh, n_sh = self._shingles(th, counts, self.cfg.shingle_k)
+        offsets = np.concatenate([[0], np.cumsum(n_sh)[:-1]]).astype(np.int64)
         sigs = minhash_signatures(all_sh, offsets, self.a, self.b)
-        simhashes = np.array([self._simhash(s) for s in per_doc], dtype=np.uint64)
+        simhashes = self._simhash(all_sh, offsets, n_sh)
 
         cols: dict[str, pa.Array] = {"url": batch["url"]}
         for passthrough in ("content_sha256", "n_chars", "priority", "lang"):
             if passthrough in batch.column_names:
                 cols[passthrough] = batch[passthrough]
-        cols["n_shingles"] = pa.array(lengths, type=pa.int64())
+        cols["n_shingles"] = pa.array(n_sh, type=pa.int64())
         cols["minhash"] = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1), type=pa.uint64()), self.cfg.num_perms
         )
@@ -92,25 +188,62 @@ class MinHasher:
         return pa.table(cols)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _worker_hasher(cfg: DedupConfig) -> MinHasher:
+    """Per-WORKER-PROCESS singleton (DedupConfig is frozen/hashable).
+
+    Ray worker processes persist across tasks within a session, so the
+    MinHasher state (permutations + token cache) is built once per
+    worker and reused by every task that lands there — the same
+    amortization an actor pool gives, without the pool's spawn-up
+    latency cliff (measured: the (1, N) autoscaling pool plateaued at
+    ~10 actors on a 32-cpu node, capping the most CPU-bound stage).
+    """
+    return MinHasher(cfg)
+
+
+def _minhash_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    return _worker_hasher(cfg)(batch)
+
+
 def minhash_signatures_stage(
-    ds: ray.data.Dataset, cfg: DedupConfig, *, concurrency: int | None = None
+    ds: ray.data.Dataset,
+    cfg: DedupConfig,
+    *,
+    concurrency: int | None = None,
+    use_actor_pool: bool = False,
 ) -> ray.data.Dataset:
     """hashed -> signatures.  Drops ``text`` (signatures are ~1KB/doc;
-    text never travels past this stage on the near-dup path)."""
+    text never travels past this stage on the near-dup path).
+
+    Default execution: stateless TASKS with a per-worker MinHasher
+    singleton (see _worker_hasher).  ``use_actor_pool=True`` switches
+    to an explicit actor pool — the right mode when per-worker state is
+    genuinely expensive (a model, a big vocabulary) or must be bounded
+    to specific resources."""
     keep = [
         c
         for c in ("url", "text", "content_sha256", "n_chars", "priority", "lang")
         if c in ds.schema().names
     ]
-    return ds.select_columns(keep).map_batches(
-        MinHasher,
-        fn_constructor_args=(cfg,),
+    slim = ds.select_columns(keep)
+    if use_actor_pool:
+        return slim.map_batches(
+            MinHasher,
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.batch_size,
+            concurrency=(1, concurrency or default_pool_size()),
+            num_cpus=1,
+        )
+    return slim.map_batches(
+        _minhash_batch,
+        fn_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.batch_size,
-        # autoscaling pool: min 1 so small runs / small test sessions
-        # never wait on actors that can't get a CPU, max sized to the
-        # node for throughput runs
-        concurrency=(1, concurrency or cfg.minhash_concurrency),
-        num_cpus=1,
     )

@@ -33,6 +33,7 @@ import ray
 import ray.data
 
 from dedup_ray.config import DedupConfig
+from dedup_ray.core import default_pool_size
 from dedup_ray.util import char_rolling_hashes, winnow_select
 
 MAX_ANCHOR_TRIES = 3
@@ -98,53 +99,124 @@ class Fingerprinter:
         )
 
 
-def anchor_candidate_pairs(anchors: ray.data.Dataset) -> ray.data.Dataset:
-    """groupby(anchor_hash) -> star-topology candidate pairs carrying
-    both anchor positions."""
+import functools
 
-    def star(group: pa.Table) -> pa.Table:
-        if "url" not in group.column_names or len(group) < 2:
+
+@functools.lru_cache(maxsize=8)
+def _worker_fingerprinter(cfg: DedupConfig) -> Fingerprinter:
+    return Fingerprinter(cfg)
+
+
+def _fingerprint_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    return _worker_fingerprinter(cfg)(batch)
+
+
+@functools.lru_cache(maxsize=8)
+def _worker_pair_urls(urls_ref) -> set:
+    return ray.get(urls_ref)
+
+
+def _tall_text_batch(t: pa.Table, urls_ref) -> pa.Table:
+    urls = _worker_pair_urls(urls_ref)
+    keep = pa.array([u in urls for u in t["url"].to_pylist()])
+    t = t.filter(keep)
+    n = len(t)
+    return pa.table(
+        {
+            "gkey": t["url"],
+            "u": pa.array([""] * n, type=pa.string()),
+            "v": pa.array([""] * n, type=pa.string()),
+            "slot": pa.array(np.full(n, -1, dtype=np.int32)),
+            "pu": pa.array(np.zeros(n, dtype=np.int64)),
+            "pv": pa.array(np.zeros(n, dtype=np.int64)),
+            "text": t["text"],
+        }
+    )
+
+
+def anchor_candidate_pairs(
+    anchors: ray.data.Dataset, *, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """anchor_hash partition kernel -> star-topology candidate pairs
+    carrying both anchor positions (vectorized; millions of singleton
+    anchor buckets cost one sort, not one UDF call each)."""
+    from dedup_ray.core import partitioned_kernel, segments
+
+    def star_kernel(g: pa.Table) -> pa.Table:
+        k = g["anchor_hash"].to_numpy(zero_copy_only=False)
+        urls = np.array(g["url"].to_pylist(), dtype=object)
+        pos = g["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, urls, k))
+        ks, us, ps = k[order], urls[order], pos[order]
+        # first occurrence of each (k, url): one anchor per doc per hash
+        first = np.ones(len(ks), dtype=bool)
+        if len(ks) > 1:
+            first[1:] = (ks[1:] != ks[:-1]) | (us[1:] != us[:-1])
+        ks_f, us_f, ps_f = ks[first], us[first], ps[first]
+        starts, lens = segments(ks_f)
+        multi = lens >= 2
+        if not multi.any():
             return _EMPTY_PAIRS
-        urls = group["url"].to_pylist()
-        poss = group["pos"].to_numpy(zero_copy_only=False)
-        order = sorted(range(len(urls)), key=lambda i: (urls[i], poss[i]))
-        # one anchor occurrence per distinct url (first by position)
-        seen: dict[str, int] = {}
-        for i in order:
-            seen.setdefault(urls[i], int(poss[i]))
-        if len(seen) < 2:
-            return _EMPTY_PAIRS
-        members = sorted(seen)
-        head = members[0]
-        hp = seen[head]
+        out_u, out_v, out_pu, out_pv = [], [], [], []
+        for s, L in zip(starts[multi].tolist(), lens[multi].tolist()):
+            head_u, head_p = us_f[s], ps_f[s]
+            out_u.append(np.repeat(np.array([head_u], dtype=object), L - 1))
+            out_v.append(us_f[s + 1 : s + L])
+            out_pu.append(np.full(L - 1, head_p, dtype=np.int64))
+            out_pv.append(ps_f[s + 1 : s + L])
         return pa.table(
             {
-                "u": pa.array([head] * (len(members) - 1), type=pa.string()),
-                "v": pa.array(members[1:], type=pa.string()),
-                "pu": pa.array([hp] * (len(members) - 1), type=pa.int64()),
-                "pv": pa.array([seen[m] for m in members[1:]], type=pa.int64()),
+                "u": pa.array(np.concatenate(out_u), type=pa.string()),
+                "v": pa.array(np.concatenate(out_v), type=pa.string()),
+                "pu": pa.array(np.concatenate(out_pu), type=pa.int64()),
+                "pv": pa.array(np.concatenate(out_pv), type=pa.int64()),
             }
         )
 
-    return anchors.groupby("anchor_hash").map_groups(star, batch_format="pyarrow")
+    return partitioned_kernel(
+        anchors,
+        lambda t: t["anchor_hash"].to_numpy(zero_copy_only=False).view(np.uint64),
+        star_kernel,
+        num_partitions=num_partitions or 64,
+        empty_result=_EMPTY_PAIRS,
+    )
 
 
-def dedupe_anchor_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
+def dedupe_anchor_pairs(
+    pairs: ray.data.Dataset, *, num_partitions: int | None = None
+) -> ray.data.Dataset:
     """Keep at most MAX_ANCHOR_TRIES anchor pairs per (u, v) so the
-    verify stage never attaches a text more than a few times."""
+    verify stage never attaches a text more than a few times
+    (vectorized rank-within-segment)."""
+    from dedup_ray.core import hash_strings_u64, partitioned_kernel
 
-    def head(group: pa.Table) -> pa.Table:
-        if "u" not in group.column_names:
-            return _EMPTY_PAIRS
-        order = np.lexsort(
-            (
-                group["pv"].to_numpy(zero_copy_only=False),
-                group["pu"].to_numpy(zero_copy_only=False),
-            )
-        )[:MAX_ANCHOR_TRIES]
-        return group.take(pa.array(np.sort(order)))
+    def kernel(g: pa.Table) -> pa.Table:
+        us = np.array(g["u"].to_pylist(), dtype=object)
+        vs = np.array(g["v"].to_pylist(), dtype=object)
+        pu = g["pu"].to_numpy(zero_copy_only=False)
+        pv = g["pv"].to_numpy(zero_copy_only=False)
+        combined = np.array(
+            [f"{a}\x00{b}" for a, b in zip(us.tolist(), vs.tolist())], dtype=object
+        )
+        order = np.lexsort((pv, pu, combined))
+        cs = combined[order]
+        from dedup_ray.stages.lsh import segments_obj
 
-    return pairs.groupby(["u", "v"]).map_groups(head, batch_format="pyarrow")
+        starts, lens = segments_obj(cs)
+        seg_id = np.repeat(np.arange(len(starts)), lens)
+        rank = np.arange(len(cs)) - starts[seg_id]
+        keep = order[rank < MAX_ANCHOR_TRIES]
+        return g.take(pa.array(np.sort(keep)))
+
+    return partitioned_kernel(
+        pairs,
+        lambda t: hash_strings_u64(
+            [f"{a}\x00{b}" for a, b in zip(t["u"].to_pylist(), t["v"].to_pylist())]
+        ),
+        kernel,
+        num_partitions=num_partitions or 64,
+        empty_result=_EMPTY_PAIRS,
+    )
 
 
 def verify_substring_pairs(
@@ -173,32 +245,11 @@ def verify_substring_pairs(
     pair_tbl = pa.concat_tables(pair_rows_tbls)
     urls_ref = ray.put(pair_urls)
 
-    class TallText:
-        def __init__(self, ref) -> None:
-            self.urls = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keep = pa.array([u in self.urls for u in t["url"].to_pylist()])
-            t = t.filter(keep)
-            n = len(t)
-            return pa.table(
-                {
-                    "gkey": t["url"],
-                    "u": pa.array([""] * n, type=pa.string()),
-                    "v": pa.array([""] * n, type=pa.string()),
-                    "slot": pa.array(np.full(n, -1, dtype=np.int32)),
-                    "pu": pa.array(np.zeros(n, dtype=np.int64)),
-                    "pv": pa.array(np.zeros(n, dtype=np.int64)),
-                    "text": t["text"],
-                }
-            )
-
     text_rows = winners.select_columns(["url", "text"]).map_batches(
-        TallText,
-        fn_constructor_args=(urls_ref,),
+        _tall_text_batch,
+        fn_kwargs={"urls_ref": urls_ref},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
 
     n = len(pair_tbl)
@@ -321,15 +372,15 @@ def verify_substring_pairs(
 def substring_edges(
     winners: ray.data.Dataset, cfg: DedupConfig
 ) -> ray.data.Dataset:
-    """winners (url, text) -> verified substring edges."""
+    """winners (url, text) -> verified substring edges.  Fingerprinting
+    runs as tasks with a per-worker singleton (see
+    minhash._worker_hasher for the pattern)."""
     anchors = winners.select_columns(["url", "text"]).map_batches(
-        Fingerprinter,
-        fn_constructor_args=(cfg,),
+        _fingerprint_batch,
+        fn_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.batch_size,
-        concurrency=(1, 8),
-        num_cpus=1,
     )
     pairs = dedupe_anchor_pairs(anchor_candidate_pairs(anchors))
     return verify_substring_pairs(pairs, winners, cfg)
