@@ -1,0 +1,86 @@
+"""CLI entry point — the reference tool's main path (SURVEY.md §2A
+A12/A10) re-expressed: analyze a pages Parquet directory, emit a
+verdict table + summary statistics.  Like the reference, this is a
+REPORT-ONLY tool: it never mutates its input.
+
+    python -m dedup_ray --input /data/pages --out /tmp/run1 \
+        [--no-substring] [--tau 0.8] [--seed N] [--cpus 32]
+
+Owns the Ray session (the only places allowed to: CLI, bench.py,
+pytest fixture — never library code).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="dedup_ray",
+        description="Ray-Data-native near-duplicate detection over Parquet pages",
+    )
+    p.add_argument("--input", required=True, help="pages Parquet file/dir")
+    p.add_argument("--out", required=True, help="output/checkpoint directory")
+    p.add_argument("--tau", type=float, default=0.8, help="Jaccard threshold")
+    p.add_argument("--seed", type=int, default=None, help="hash seed override")
+    p.add_argument("--no-substring", action="store_true", help="skip substring pass")
+    p.add_argument("--cpus", type=int, default=None, help="ray num_cpus")
+    p.add_argument(
+        "--priority-col",
+        default=None,
+        help="optional pages column used as keep-priority (lower wins)",
+    )
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.pipelines.flagship import run_flagship_checkpointed
+    from dedup_ray.sources.sinks import write_assignments_parquet, write_run_report
+    from dedup_ray.stages.exact import dup_stats
+
+    kw = {"jaccard_tau": args.tau}
+    if args.seed is not None:
+        kw["seed"] = args.seed
+    cfg = DedupConfig(**kw)
+
+    assignments, report = run_flagship_checkpointed(
+        args.input, args.out, cfg, substring_pass=not args.no_substring
+    )
+    write_assignments_parquet(assignments, f"{args.out}/assignments_by_kind")
+    report_path = write_run_report(report, args.out)
+
+    # summary statistics — the reference's stdout report (A11);
+    # n_distinct_hashes == canonical-row count == cluster count here
+    stats = dup_stats(assignments).to_pandas().iloc[0].to_dict()
+    summary = {
+        "config_hash": cfg.config_hash(),
+        "stages": {k: ("skipped" if v.skipped else f"{v.wall_s:.1f}s") for k, v in report.items()},
+        "n_pages": int(stats["n_pages"]),
+        "n_clusters": int(stats["n_distinct_hashes"]),
+        "n_duplicate_pages": int(stats["n_dup_pages"]),
+        "reclaimable_chars": int(stats["reclaimable_chars"]),
+        "report": report_path,
+        "assignments": f"{args.out}/assignments_by_kind",
+    }
+    print(json.dumps(summary, indent=1))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

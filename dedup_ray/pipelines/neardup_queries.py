@@ -120,8 +120,90 @@ def simhash_dedup(sf_dir: str) -> ray.data.Dataset:
     return nonempty.groupby("simhash64").map_groups(label, batch_format="pyarrow")
 
 
+def simhash_hamming(sf_dir: str) -> ray.data.Dataset:
+    """SimHash near-dup pairs within Hamming distance 3 (block-banded
+    candidate generation + exact popcount verification)."""
+    from dedup_ray.stages.simhash import simhash_hamming_pairs
+
+    sigs = minhash_signatures_stage(_winners(sf_dir), DEFAULT_CONFIG)
+    return simhash_hamming_pairs(sigs, DEFAULT_CONFIG, max_hamming=3)
+
+
+def ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Exact shingle-set Jaccard >= tau pairs: LSH candidates verified
+    against the TRUE Jaccard (not the signature estimate).  The id
+    pairs from the banded path are resolved back to urls on the driver
+    (candidate pairs are tiny vs the corpus) before text attach."""
+    import pyarrow as pa
+
+    from dedup_ray.stages.jaccard import exact_jaccard_edges
+    from dedup_ray.stages.lsh import (
+        bucket_candidate_pairs,
+        dedupe_pairs,
+        find_hot_buckets,
+        hash_url,
+        lsh_bands,
+        salt_band_rows,
+    )
+
+    winners = _winners(sf_dir).materialize()
+    sigs = minhash_signatures_stage(winners, DEFAULT_CONFIG).materialize()
+    bands = lsh_bands(sigs, DEFAULT_CONFIG).materialize()
+    hot, _ = find_hot_buckets(bands, DEFAULT_CONFIG)
+    pairs = dedupe_pairs(
+        bucket_candidate_pairs(salt_band_rows(bands, hot, DEFAULT_CONFIG), DEFAULT_CONFIG)
+    )
+    import numpy as np
+
+    id_pairs = []
+    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=65536):
+        if "u_id" in b.column_names and len(b):
+            id_pairs.append(
+                (b["u_id"].to_numpy(zero_copy_only=False), b["v_id"].to_numpy(zero_copy_only=False))
+            )
+    if not id_pairs:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "u": pa.array([], pa.string()),
+                    "v": pa.array([], pa.string()),
+                    "kind": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
+    us = np.concatenate([p[0] for p in id_pairs])
+    vs = np.concatenate([p[1] for p in id_pairs])
+    needed = set(np.concatenate([us, vs]).tolist())
+    id2url: dict[int, str] = {}
+    for b in winners.iter_batches(batch_format="pyarrow", batch_size=65536):
+        if "url" not in b.column_names:
+            continue
+        for u in b["url"].to_pylist():
+            h = np.int64(np.uint64(hash_url(u)))
+            if int(h) in needed:
+                id2url[int(h)] = u
+    url_pairs = pa.table(
+        {
+            "u": pa.array([id2url[int(i)] for i in us], pa.string()),
+            "v": pa.array([id2url[int(i)] for i in vs], pa.string()),
+        }
+    )
+    return exact_jaccard_edges(ray.data.from_arrow(url_pairs), winners, DEFAULT_CONFIG)
+
+
+def sample_pages(sf_dir: str) -> ray.data.Dataset:
+    """Seeded uniform sample (SURVEY B20) — rows-only check (the seed
+    makes the row COUNT deterministic across runs)."""
+    ds = documents_as_pages(sf_dir)
+    return ds.random_sample(0.1, seed=42)
+
+
 QUERIES = {
     "dedup_full": dedup_full,
+    "simhash_hamming": simhash_hamming,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "sample_pages": sample_pages,
     "minhash_signatures": minhash_signatures,
     "lsh_band_rows": lsh_band_rows,
     "minhash_edge_list": minhash_edge_list,

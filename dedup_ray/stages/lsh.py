@@ -1,38 +1,45 @@
 """LSH banding + bucket candidate generation with explicit skew
 handling (SURVEY.md §2B B9, B10, B12; BASELINE.json:6,14).
 
-Shape of the computation (all Ray Data, slim rows through every
-shuffle, every grouped step a VECTORIZED partition kernel — see
-core.partitioned_kernel for why per-group map_groups is avoided):
+Shape of the computation (all grouped steps are VECTORIZED partition
+kernels over a custom hash exchange — see core.partitioned_kernel):
 
-  signatures ──lsh_bands──▶ band_rows (band_id, band_hash, url)   [x bands]
-      band_rows ──count kernel──▶ hot buckets (> bucket_cap)      [small]
+  signatures ──lsh_bands──▶ band_rows (band_id, band_hash, doc_id)  [x bands]
+      band_rows ──count kernel──▶ hot buckets (> bucket_cap)        [small]
       band_rows + broadcast hot set ──salt──▶ salted band rows
-      (band_id, band_hash, salt) kernel ──▶ candidate pairs (u, v)
-      (u, v) kernel ──▶ distinct pairs                            [dedup across bands]
-      union + url kernel + (u, v) kernel ──▶ verified est-Jaccard edges
+      (band_id, band_hash, salt) kernel ──▶ candidate id pairs
+      (u_id, v_id) kernel ──▶ distinct pairs                        [dedup across bands]
+      union + doc_id kernel + pair kernel ──▶ verified edges (urls)
 
 Design decisions, with the 100-TB rationale:
-  - Band rows do NOT carry the 1-KB signature (32 bands would amplify
-    shuffle volume 32x); verification re-attaches signatures via the
-    union+groupby shuffle-join decomposition (same volume as a hash
-    join; Ray 2.49's acero join breaks on lazy schemas + empty
-    partitions and rejects fixed_size_list payloads).
+  - Band rows carry an 8-byte ``doc_id`` (stable url hash), NOT the
+    url string and NOT the 1-KB signature: the banded exchange moves
+    slim fixed-width rows (3x less traffic than strings; 32x less
+    than carrying signatures).  Urls re-enter only on the verified
+    edge output, supplied by the signature rows during verification.
+    (64-bit ids collide at ~n^2/2^65; colliding CANDIDATES are killed
+    by signature verification, so a collision can only mislabel an
+    edge endpoint — switch to 128-bit ids beyond ~10^9 docs if that
+    residual risk matters.)
   - Buckets bigger than ``bucket_cap`` (boilerplate shingles) are
-    SALTED into sub-buckets by a stable url hash; every capped bucket
-    is counted and logged — never silently truncated.
+    SALTED into sub-buckets by a stable doc-id hash; every capped
+    bucket is counted and logged — never silently truncated.
   - Pair topology is HYBRID: all-pairs for small buckets (size <=
-    star_threshold, precise), star-to-min for larger ones — keeps
+    STAR_THRESHOLD, precise), star-to-min for larger ones — keeps
     pair volume O(n) per bucket.  Star relies on union-find
     transitivity + per-edge verification: a tight near-dup cluster
     verifies member-center edges; a boilerplate bucket wastes only
     n-1 verifications instead of n^2/2.
-  - Pairs are canonicalized (u < v) and deduplicated across bands
-    before the verification shuffle.
+  - Verification re-attaches signatures via the union + partition
+    kernel shuffle-join decomposition (Ray 2.49's acero join breaks
+    on lazy schemas + empty partitions and rejects fixed_size_list
+    payloads), with the signature side broadcast-filtered to docs
+    that actually occur in a candidate pair.
 """
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -42,20 +49,14 @@ import ray
 import ray.data
 
 from dedup_ray.config import DedupConfig
-from dedup_ray.core import (
-    default_pool_size,
-    hash_strings_u64,
-    numeric_key_u64,
-    partitioned_kernel,
-    segments,
-)
-from dedup_ray.util import combine_rows_u64, u64_matrix_to_binary
+from dedup_ray.core import numeric_key_u64, partitioned_kernel, segments
+from dedup_ray.util import combine_rows_u64, splitmix64, u64_matrix_to_binary
 
 #: buckets up to this size emit all pairs; larger ones a star to min
 STAR_THRESHOLD = 8
 
 _EMPTY_PAIRS = pa.table(
-    {"u": pa.array([], type=pa.string()), "v": pa.array([], type=pa.string())}
+    {"u_id": pa.array([], type=pa.int64()), "v_id": pa.array([], type=pa.int64())}
 )
 
 _EMPTY_EDGES = pa.table(
@@ -69,12 +70,20 @@ _EMPTY_EDGES = pa.table(
 
 
 def hash_url(u: str) -> int:
-    """Stable (process-independent) 64-bit url hash for salting."""
+    """Stable (process-independent) 64-bit url hash — the doc_id."""
     return int.from_bytes(hashlib.blake2b(u.encode(), digest_size=8).digest(), "little")
 
 
+def add_doc_ids(t: pa.Table) -> pa.Table:
+    """Append doc_id (int64 view of hash_url) to a table with url."""
+    ids = np.fromiter(
+        (hash_url(u) for u in t["url"].to_pylist()), dtype=np.uint64, count=len(t)
+    )
+    return t.append_column("doc_id", pa.array(ids.view(np.int64), type=pa.int64()))
+
+
 def lsh_bands(signatures: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
-    """signatures -> band_rows: ``bands`` slim rows per doc.
+    """signatures -> band_rows: ``bands`` slim fixed-width rows per doc.
 
     Docs with zero shingles are skipped (their sentinel signature would
     otherwise bucket all empties together — empties are handled by the
@@ -91,15 +100,16 @@ def lsh_bands(signatures: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Datase
                 {
                     "band_id": pa.array([], type=pa.int32()),
                     "band_hash": pa.array([], type=pa.int64()),
-                    "url": pa.array([], type=pa.string()),
+                    "doc_id": pa.array([], type=pa.int64()),
                 }
             )
+        batch = add_doc_ids(batch)
         sig_col = batch["minhash"].combine_chunks()
         flat = sig_col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
         mat = flat.reshape(n * bands, r)
         bh = combine_rows_u64(mat)
         band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
-        urls = np.repeat(batch["url"].to_numpy(zero_copy_only=False), bands)
+        ids = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), bands)
         return pa.table(
             {
                 "band_id": pa.array(band_ids, type=pa.int32()),
@@ -107,7 +117,7 @@ def lsh_bands(signatures: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Datase
                 # keys overflow Ray's sort-boundary sampling into
                 # pickled-object fallback; grouping only needs equality
                 "band_hash": pa.array(bh.view(np.int64), type=pa.int64()),
-                "url": pa.array(urls, type=pa.string()),
+                "doc_id": pa.array(ids, type=pa.int64()),
             }
         )
 
@@ -115,13 +125,14 @@ def lsh_bands(signatures: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Datase
 
 
 _BUCKET_KEY_COLS = ["band_id", "band_hash"]
+_SALTED_KEY_COLS = ["band_id", "band_hash", "salt"]
 
 
 def find_hot_buckets(
     band_rows: ray.data.Dataset, cfg: DedupConfig, *, num_partitions: int | None = None
 ) -> tuple[dict[tuple[int, int], int], list[dict]]:
-    """Count bucket sizes (vectorized partition kernel, not a Ray
-    aggregate); return ({(band_id, band_hash): n_salts}, log).
+    """Count bucket sizes (vectorized partition kernel); return
+    ({(band_id, band_hash): n_salts}, log).
 
     The hot set is small by definition (buckets above cap), so
     collecting it for broadcast is safe at any scale — the two-pass
@@ -182,8 +193,8 @@ def find_hot_buckets(
 
 
 class _Salter:
-    """Broadcast-hot-set salting stage (actor pool: the hot map and the
-    vectorized membership arrays are built once per worker)."""
+    """Broadcast-hot-set salting (fully numeric/vectorized now that
+    rows carry doc_id instead of url)."""
 
     def __init__(self, hot_ref) -> None:
         self.hot: dict[tuple[int, int], int] = ray.get(hot_ref)
@@ -217,20 +228,11 @@ class _Salter:
             idx = np.minimum(idx, len(self._hot_keys) - 1)
             is_hot = self._hot_keys[idx] == keys
             if is_hot.any():
-                rows = np.flatnonzero(is_hot)
-                urls = t["url"].to_pylist()
-                uh = np.array([hash_url(urls[i]) for i in rows], dtype=np.uint64)
-                salts[rows] = (uh % self._hot_salts[idx[rows]]).astype(np.int32)
+                ids = t["doc_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+                mixed = splitmix64(ids[is_hot])
+                salts[is_hot] = (mixed % self._hot_salts[idx[is_hot]]).astype(np.int32)
         t = t.append_column("salt", pa.array(salts, type=pa.int32()))
         return t.append_column("is_hot", pa.array(is_hot))
-
-
-import functools
-
-
-@functools.lru_cache(maxsize=8)
-def _worker_pair_url_set(ref) -> set:
-    return ray.get(ref)
 
 
 @functools.lru_cache(maxsize=8)
@@ -249,10 +251,8 @@ def salt_band_rows(
     hot: dict[tuple[int, int], int],
     cfg: DedupConfig,
 ) -> ray.data.Dataset:
-    """Append ``salt`` (0 for normal buckets; stable hash(url) %
-    n_salts for hot ones) and ``is_hot``.  The hot map is broadcast
-    once via ray.put and read per worker (zero-copy shm); stateless
-    tasks, worker-singleton state."""
+    """Append ``salt`` (0 for normal buckets; stable mix(doc_id) %
+    n_salts for hot ones) and ``is_hot``."""
     hot_ref = ray.put(hot)
     return band_rows.map_batches(
         _salt_batch,
@@ -262,18 +262,14 @@ def salt_band_rows(
     )
 
 
-_SALTED_KEY_COLS = ["band_id", "band_hash", "salt"]
-
-
-def _pairs_from_sorted_urls(urls_sorted: np.ndarray, starts, lens, star_threshold: int):
-    """Pair emission over pre-sorted segments: all-pairs for small
-    segments, star-to-first for large ones.  Returns (us, vs) object
-    arrays."""
+def _emit_pairs_sorted(ids_sorted: np.ndarray, starts, lens, star_threshold: int):
+    """Pair emission over segments of a doc-id array sorted by
+    (bucket, id): all-pairs for small segments, star-to-min otherwise."""
     us_parts, vs_parts = [], []
     for s, L in zip(starts.tolist(), lens.tolist()):
         if L < 2:
             continue
-        seg = urls_sorted[s : s + L]
+        seg = ids_sorted[s : s + L]
         if L <= star_threshold:
             iu, jv = np.triu_indices(L, k=1)
             us_parts.append(seg[iu])
@@ -282,42 +278,27 @@ def _pairs_from_sorted_urls(urls_sorted: np.ndarray, starts, lens, star_threshol
             us_parts.append(np.repeat(seg[:1], L - 1))
             vs_parts.append(seg[1:])
     if not us_parts:
-        return np.empty(0, dtype=object), np.empty(0, dtype=object)
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     return np.concatenate(us_parts), np.concatenate(vs_parts)
 
 
 def bucket_candidate_pairs(
     salted: ray.data.Dataset, cfg: DedupConfig, *, num_partitions: int | None = None
 ) -> ray.data.Dataset:
-    """(band_id, band_hash, salt) partition kernel -> candidate pairs,
-    plus rep-star pairs reconnecting the salt groups of hot buckets."""
+    """(band_id, band_hash, salt) partition kernel -> candidate id
+    pairs, plus rep-star pairs reconnecting the salt groups of hot
+    buckets.  Fully numeric sorts."""
 
     def pair_kernel(g: pa.Table) -> pa.Table:
-        # numeric-only global sort (C argsort on uint64); member urls
-        # are sorted PER QUALIFYING SEGMENT only — a global object-array
-        # lexsort costs ~1.5s per 260k-row partition and buckets with
-        # >= 2 members are a tiny fraction
         k = numeric_key_u64(g, _SALTED_KEY_COLS)
-        order = np.argsort(k, kind="stable")
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, k))
         starts, lens = segments(k[order])
-        multi = lens >= 2
-        if not multi.any():
-            return _EMPTY_PAIRS
-        urls = np.array(g["url"].to_pylist(), dtype=object)[order]
-        us_parts, vs_parts = [], []
-        for s, L in zip(starts[multi].tolist(), lens[multi].tolist()):
-            seg = np.sort(urls[s : s + L])
-            if L <= STAR_THRESHOLD:
-                iu, jv = np.triu_indices(L, k=1)
-                us_parts.append(seg[iu])
-                vs_parts.append(seg[jv])
-            else:
-                us_parts.append(np.repeat(seg[:1], L - 1))
-                vs_parts.append(seg[1:])
+        us, vs = _emit_pairs_sorted(ids[order], starts, lens, STAR_THRESHOLD)
         return pa.table(
             {
-                "u": pa.array(np.concatenate(us_parts), type=pa.string()),
-                "v": pa.array(np.concatenate(vs_parts), type=pa.string()),
+                "u_id": pa.array(us, type=pa.int64()),
+                "v_id": pa.array(vs, type=pa.int64()),
             }
         )
 
@@ -329,14 +310,12 @@ def bucket_candidate_pairs(
         empty_result=_EMPTY_PAIRS,
     )
 
-    # cross-salt reconnection: hot rows only (tiny).  Kernel 1 emits
-    # the min-url representative per (band, hash, salt); kernel 2
-    # stars the reps of each (band, hash).
+    # cross-salt reconnection: hot rows only (tiny)
     hot_empty = pa.table(
         {
             "band_id": pa.array([], type=pa.int32()),
             "band_hash": pa.array([], type=pa.int64()),
-            "url": pa.array([], type=pa.string()),
+            "doc_id": pa.array([], type=pa.int64()),
             "salt": pa.array([], type=pa.int32()),
             "is_hot": pa.array([], type=pa.bool_()),
         }
@@ -353,21 +332,21 @@ def bucket_candidate_pairs(
         {
             "band_id": pa.array([], type=pa.int32()),
             "band_hash": pa.array([], type=pa.int64()),
-            "rep": pa.array([], type=pa.string()),
+            "rep": pa.array([], type=pa.int64()),
         }
     )
 
     def rep_kernel(g: pa.Table) -> pa.Table:
         k = numeric_key_u64(g, _SALTED_KEY_COLS)
-        urls = np.array(g["url"].to_pylist(), dtype=object)
-        order = np.lexsort((urls, k))
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, k))
         starts, _lens = segments(k[order])
         idx = order[starts]
         return pa.table(
             {
                 "band_id": g["band_id"].take(pa.array(idx)),
                 "band_hash": g["band_hash"].take(pa.array(idx)),
-                "rep": pa.array(urls[idx], type=pa.string()),
+                "rep": pa.array(ids[idx], type=pa.int64()),
             }
         )
 
@@ -381,14 +360,14 @@ def bucket_candidate_pairs(
 
     def star_kernel(g: pa.Table) -> pa.Table:
         k = numeric_key_u64(g, _BUCKET_KEY_COLS)
-        urls = np.array(g["rep"].to_pylist(), dtype=object)
-        order = np.lexsort((urls, k))
+        ids = g["rep"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, k))
         starts, lens = segments(k[order])
-        us, vs = _pairs_from_sorted_urls(urls[order], starts, lens, 1)
+        us, vs = _emit_pairs_sorted(ids[order], starts, lens, 1)
         return pa.table(
             {
-                "u": pa.array(us, type=pa.string()),
-                "v": pa.array(vs, type=pa.string()),
+                "u_id": pa.array(us, type=pa.int64()),
+                "v_id": pa.array(vs, type=pa.int64()),
             }
         )
 
@@ -402,34 +381,33 @@ def bucket_candidate_pairs(
     return pairs.union(rep_pairs)
 
 
-def _pair_key_hash(t: pa.Table) -> np.ndarray:
-    us = t["u"].to_pylist()
-    vs = t["v"].to_pylist()
-    return hash_strings_u64([f"{a}\x00{b}" for a, b in zip(us, vs)])
+_PAIR_KEY_COLS = ["u_id", "v_id"]
 
 
 def dedupe_pairs(
     pairs: ray.data.Dataset, *, num_partitions: int | None = None
 ) -> ray.data.Dataset:
-    """Distinct (u, v) via a vectorized unique kernel."""
+    """Distinct (u_id, v_id) via a vectorized numeric unique kernel."""
 
     def kernel(g: pa.Table) -> pa.Table:
-        us = np.array(g["u"].to_pylist(), dtype=object)
-        vs = np.array(g["v"].to_pylist(), dtype=object)
-        combined = np.array(
-            [f"{a}\x00{b}" for a, b in zip(us.tolist(), vs.tolist())], dtype=object
-        )
-        _, first_idx = np.unique(combined, return_index=True)
+        k = numeric_key_u64(g, _PAIR_KEY_COLS)
+        us = g["u_id"].to_numpy(zero_copy_only=False)
+        vs = g["v_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vs, us, k))
+        ks, uss, vss = k[order], us[order], vs[order]
+        first = np.ones(len(ks), dtype=bool)
+        if len(ks) > 1:
+            first[1:] = (ks[1:] != ks[:-1]) | (uss[1:] != uss[:-1]) | (vss[1:] != vss[:-1])
         return pa.table(
             {
-                "u": pa.array(us[first_idx], type=pa.string()),
-                "v": pa.array(vs[first_idx], type=pa.string()),
+                "u_id": pa.array(uss[first], type=pa.int64()),
+                "v_id": pa.array(vss[first], type=pa.int64()),
             }
         )
 
     return partitioned_kernel(
         pairs,
-        _pair_key_hash,
+        lambda t: numeric_key_u64(t, _PAIR_KEY_COLS),
         kernel,
         num_partitions=num_partitions or 64,
         empty_result=_EMPTY_PAIRS,
@@ -443,113 +421,110 @@ def verify_pairs(
     *,
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
-    """Attach both signatures to every candidate pair and keep pairs
-    whose estimated Jaccard (fraction of agreeing components) >=
-    cfg.verify_tau.
-
-    UNION + two vectorized partition kernels (shuffle-join
-    decomposition): phase 1 keys on url (sig row + member rows
-    co-located), phase 2 reassembles per (u, v).  Signatures flow
-    through the shuffle once per side — not once per band row.
+    """Attach both signatures to every candidate pair; keep pairs whose
+    estimated Jaccard (fraction of agreeing components) >=
+    cfg.verify_tau; output edges carry the URLS (provided by the
+    signature rows, so the banded path never shipped them).
     """
     P = num_partitions or 64
     num_perms = cfg.num_perms
 
-    # broadcast-filter the signature side to urls that occur in a
-    # candidate pair: the pair-url set is orders of magnitude smaller
-    # than the corpus, so the 1KB-per-doc signature payload of
-    # untouched docs never enters the exchange
-    pair_url_set: set[str] = set()
+    # broadcast-filter the signature side to candidate doc ids
+    id_parts = []
     for b in pairs.iter_batches(batch_format="pyarrow", batch_size=65536):
-        if "u" in b.column_names:
-            pair_url_set.update(b["u"].to_pylist())
-            pair_url_set.update(b["v"].to_pylist())
-    purl_ref = ray.put(pair_url_set)
+        if "u_id" in b.column_names and len(b):
+            id_parts.append(b["u_id"].to_numpy(zero_copy_only=False))
+            id_parts.append(b["v_id"].to_numpy(zero_copy_only=False))
+    if not id_parts:
+        return ray.data.from_arrow(_EMPTY_EDGES)
+    pair_ids = np.unique(np.concatenate(id_parts))
+    pid_ref = ray.put(pair_ids)
 
     def sig_rows(t: pa.Table) -> pa.Table:
-        urls_needed = _worker_pair_url_set(purl_ref)
-        keep = pa.array([u in urls_needed for u in t["url"].to_pylist()])
-        t = t.filter(keep)
+        needed = _worker_pair_ids(pid_ref)
+        t = add_doc_ids(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, needed)
+        t = t.filter(pa.array(keep))
+        n = len(t)
         sig = t["minhash"].combine_chunks()
         flat = sig.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-        mat = flat.reshape(len(t), num_perms)
-        n = len(t)
+        mat = flat.reshape(n, num_perms)
         return pa.table(
             {
-                "gkey": t["url"],
-                "u": pa.array([""] * n, type=pa.string()),
-                "v": pa.array([""] * n, type=pa.string()),
+                "gkey": t["doc_id"],
+                "u_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "v_id": pa.array(np.zeros(n, dtype=np.int64)),
                 "slot": pa.array(np.full(n, -1, dtype=np.int32)),
                 "sig": u64_matrix_to_binary(mat),
+                "url": t["url"],
             }
         )
 
     def pair_rows(t: pa.Table) -> pa.Table:
-        u = t["u"].combine_chunks()
-        v = t["v"].combine_chunks()
+        u = t["u_id"].combine_chunks()
+        v = t["v_id"].combine_chunks()
         n = len(t)
         return pa.table(
             {
                 "gkey": pa.concat_arrays([u, v]),
-                "u": pa.concat_arrays([u, u]),
-                "v": pa.concat_arrays([v, v]),
+                "u_id": pa.concat_arrays([u, u]),
+                "v_id": pa.concat_arrays([v, v]),
                 "slot": pa.array(
                     np.concatenate(
                         [np.zeros(n, dtype=np.int32), np.ones(n, dtype=np.int32)]
                     )
                 ),
                 "sig": pa.nulls(2 * n, type=pa.binary()),
+                "url": pa.nulls(2 * n, type=pa.string()),
             }
         )
 
     tall = signatures.select_columns(["url", "minhash"]).map_batches(
         sig_rows, batch_format="pyarrow", zero_copy_batch=True
     ).union(
-        pairs.select_columns(["u", "v"]).map_batches(
-            pair_rows, batch_format="pyarrow", zero_copy_batch=True
-        )
+        pairs.map_batches(pair_rows, batch_format="pyarrow", zero_copy_batch=True)
     )
 
     attach_empty = pa.table(
         {
-            "u": pa.array([], type=pa.string()),
-            "v": pa.array([], type=pa.string()),
+            "u_id": pa.array([], type=pa.int64()),
+            "v_id": pa.array([], type=pa.int64()),
             "slot": pa.array([], type=pa.int32()),
             "sig": pa.array([], type=pa.binary()),
+            "url": pa.array([], type=pa.string()),
         }
     )
 
     def attach_kernel(g: pa.Table) -> pa.Table:
-        """Per url segment: copy the slot=-1 row's sig onto member
-        rows — fully vectorized via segment-start gathers."""
-        gkeys = np.array(g["gkey"].to_pylist(), dtype=object)
+        """Per doc-id segment: copy the slot=-1 row's sig+url onto
+        member rows — vectorized segment-start gathers."""
+        gkeys = g["gkey"].to_numpy(zero_copy_only=False)
         slots = g["slot"].to_numpy(zero_copy_only=False)
         order = np.lexsort((slots, gkeys))  # sig row (-1) first per segment
         gs = gkeys[order]
-        starts, lens = segments_obj(gs)
+        starts, lens = segments(gs)
         slots_sorted = slots[order]
         has_sig = slots_sorted[starts] == -1
-        # for each row: index (into sorted order) of its segment start
         seg_id = np.repeat(np.arange(len(starts)), lens)
-        seg_start_sorted = starts[seg_id]
-        member_mask = slots_sorted >= 0
-        keep = member_mask & has_sig[seg_id]
-        if not keep.any():
+        member = (slots_sorted >= 0) & has_sig[seg_id]
+        if not member.any():
             return attach_empty
-        take_rows = pa.array(order[keep])
-        sig_src = pa.array(order[seg_start_sorted[keep]])
+        take_rows = pa.array(order[member])
+        src = pa.array(order[starts[seg_id][member]])
         return pa.table(
             {
-                "u": g["u"].take(take_rows),
-                "v": g["v"].take(take_rows),
+                "u_id": g["u_id"].take(take_rows),
+                "v_id": g["v_id"].take(take_rows),
                 "slot": g["slot"].take(take_rows),
-                "sig": g["sig"].take(sig_src),
+                "sig": g["sig"].take(src),
+                "url": g["url"].take(src),
             }
         )
 
     attached = partitioned_kernel(
         tall,
-        lambda t: hash_strings_u64(t["gkey"].to_pylist()),
+        lambda t: t["gkey"].to_numpy(zero_copy_only=False).view(np.uint64),
         attach_kernel,
         num_partitions=P,
         empty_result=attach_empty,
@@ -558,16 +533,36 @@ def verify_pairs(
     tau = cfg.verify_tau
 
     def verify_kernel(g: pa.Table) -> pa.Table:
-        """Per (u, v) segment: expect slots {0, 1}; est Jaccard via a
-        single vectorized signature comparison across all pairs."""
-        us = np.array(g["u"].to_pylist(), dtype=object)
-        vs = np.array(g["v"].to_pylist(), dtype=object)
+        """Per (u_id, v_id) segment: expect slots {0, 1}; vectorized
+        signature comparison across all pairs at once."""
+        from dedup_ray.util import binary_to_u64_matrix
+
+        us = g["u_id"].to_numpy(zero_copy_only=False)
+        vs = g["v_id"].to_numpy(zero_copy_only=False)
         slots = g["slot"].to_numpy(zero_copy_only=False)
-        combined = np.array(
-            [f"{a}\x00{b}" for a, b in zip(us.tolist(), vs.tolist())], dtype=object
-        )
-        order = np.lexsort((slots, combined))
-        starts, lens = segments_obj(combined[order])
+        order = np.lexsort((slots, vs, us))
+        us_s, vs_s, sl_s = us[order], vs[order], slots[order]
+        # in-kernel dedupe: a pair colliding in several bands produced
+        # several identical member rows — keep the first per
+        # (u_id, v_id, slot) occurrence
+        n_rows = len(us_s)
+        keep1 = np.ones(n_rows, dtype=bool)
+        if n_rows > 1:
+            keep1[1:] = (
+                (us_s[1:] != us_s[:-1])
+                | (vs_s[1:] != vs_s[:-1])
+                | (sl_s[1:] != sl_s[:-1])
+            )
+        order = order[keep1]
+        us_s, vs_s = us_s[keep1], vs_s[keep1]
+        # segment on the ACTUAL (u_id, v_id) values, not their mixed
+        # hash (a hash collision must not merge two pairs)
+        n_rows = len(us_s)
+        firsts = np.ones(n_rows, dtype=bool)
+        if n_rows > 1:
+            firsts[1:] = (us_s[1:] != us_s[:-1]) | (vs_s[1:] != vs_s[:-1])
+        starts = np.flatnonzero(firsts).astype(np.int64)
+        lens = np.diff(np.concatenate([starts, [n_rows]])).astype(np.int64)
         ok = lens == 2
         if not ok.any():
             return _EMPTY_EDGES
@@ -577,19 +572,19 @@ def verify_pairs(
         s = s[ok2]
         if len(s) == 0:
             return _EMPTY_EDGES
-        from dedup_ray.util import binary_to_u64_matrix
-
         sig_sorted = g["sig"].take(pa.array(order))
         mats = binary_to_u64_matrix(sig_sorted, num_perms)
         est = (mats[s] == mats[s + 1]).mean(axis=1)
         keep = est >= tau
         if not keep.any():
             return _EMPTY_EDGES
-        rows = order[s[keep]]
+        url_sorted = g["url"].take(pa.array(order))
+        rows_u = pa.array(s[keep])
+        rows_v = pa.array(s[keep] + 1)
         return pa.table(
             {
-                "u": g["u"].take(pa.array(rows)),
-                "v": g["v"].take(pa.array(rows)),
+                "u": url_sorted.take(rows_u),
+                "v": url_sorted.take(rows_v),
                 "kind": pa.array(["minhash"] * int(keep.sum()), type=pa.string()),
                 "score": pa.array(est[keep], type=pa.float64()),
             }
@@ -597,11 +592,16 @@ def verify_pairs(
 
     return partitioned_kernel(
         attached,
-        _pair_key_hash,
+        lambda t: numeric_key_u64(t, _PAIR_KEY_COLS),
         verify_kernel,
         num_partitions=P,
         empty_result=_EMPTY_EDGES,
     )
+
+
+@functools.lru_cache(maxsize=8)
+def _worker_pair_ids(ref) -> np.ndarray:
+    return ray.get(ref)
 
 
 def segments_obj(sorted_vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -615,18 +615,144 @@ def segments_obj(sorted_vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return starts, lens
 
 
+_FUSED_EMPTY = pa.table(
+    {
+        "u_id": pa.array([], type=pa.int64()),
+        "v_id": pa.array([], type=pa.int64()),
+        "meta": pa.array([], type=pa.int32()),
+    }
+)
+
+
+def fused_candidate_pairs(
+    bands: ray.data.Dataset, cfg: DedupConfig, *, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """ONE exchange from band rows to candidate id pairs, with skew
+    handling fused into the kernel.
+
+    The custom hash exchange co-locates every (band_id, band_hash)
+    bucket in one partition, so hot-bucket detection and salting need
+    no separate counting pass: the kernel sees each bucket whole,
+    salts oversized ones locally (stable mix(doc_id) % n_salts
+    sub-groups + rep star across them), and EMITS A LOG ROW per capped
+    bucket (meta=1: u_id=bucket size, v_id=band_id) — skew is never
+    silent.  Pair rows have meta=0.  Versus the two-pass variant this
+    removes two full exchanges over the banded row set (the previous
+    count + salt stages).
+    """
+    cap = cfg.bucket_cap
+
+    def kernel(g: pa.Table) -> pa.Table:
+        k = numeric_key_u64(g, _BUCKET_KEY_COLS)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        band_ids = g["band_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, k))
+        ks, ids_s = k[order], ids[order]
+        starts, lens = segments(ks)
+        us_parts, vs_parts = [], []
+        log_sizes, log_bands = [], []
+        for s, L in zip(starts.tolist(), lens.tolist()):
+            if L < 2:
+                continue
+            seg = ids_s[s : s + L]
+            if L <= cap:
+                if L <= STAR_THRESHOLD:
+                    iu, jv = np.triu_indices(L, k=1)
+                    us_parts.append(seg[iu])
+                    vs_parts.append(seg[jv])
+                else:
+                    us_parts.append(np.repeat(seg[:1], L - 1))
+                    vs_parts.append(seg[1:])
+                continue
+            # hot bucket: salt into sub-groups, star within, rep star across
+            n_salts = -(-L // cap)
+            log_sizes.append(L)
+            log_bands.append(int(band_ids[order[s]]))
+            salts = (splitmix64(seg.view(np.uint64)) % np.uint64(n_salts)).astype(
+                np.int64
+            )
+            sort2 = np.lexsort((seg, salts))
+            seg2 = seg[sort2]
+            s2, l2 = segments(salts[sort2])
+            reps = []
+            for ss, LL in zip(s2.tolist(), l2.tolist()):
+                sub = seg2[ss : ss + LL]
+                reps.append(sub[0])
+                if LL >= 2:
+                    us_parts.append(np.repeat(sub[:1], LL - 1))
+                    vs_parts.append(sub[1:])
+            reps = np.sort(np.array(reps, dtype=ids.dtype))
+            if len(reps) >= 2:
+                us_parts.append(np.repeat(reps[:1], len(reps) - 1))
+                vs_parts.append(reps[1:])
+        n_pairs = sum(len(p) for p in us_parts)
+        n_logs = len(log_sizes)
+        if n_pairs == 0 and n_logs == 0:
+            return _FUSED_EMPTY
+        u_out = np.concatenate(
+            ([np.concatenate(us_parts)] if us_parts else [])
+            + ([np.array(log_sizes, dtype=np.int64)] if n_logs else [])
+        )
+        v_out = np.concatenate(
+            ([np.concatenate(vs_parts)] if vs_parts else [])
+            + ([np.array(log_bands, dtype=np.int64)] if n_logs else [])
+        )
+        meta = np.concatenate(
+            [np.zeros(n_pairs, dtype=np.int32), np.ones(n_logs, dtype=np.int32)]
+        )
+        return pa.table(
+            {
+                "u_id": pa.array(u_out, type=pa.int64()),
+                "v_id": pa.array(v_out, type=pa.int64()),
+                "meta": pa.array(meta, type=pa.int32()),
+            }
+        )
+
+    return partitioned_kernel(
+        bands,
+        lambda t: numeric_key_u64(t, _BUCKET_KEY_COLS),
+        kernel,
+        num_partitions=num_partitions or 64,
+        empty_result=_FUSED_EMPTY,
+    )
+
+
 def minhash_edges(
     signatures: ray.data.Dataset, cfg: DedupConfig
 ) -> tuple[ray.data.Dataset, list[dict]]:
-    """Full near-dup candidate path: bands -> skew-salted buckets ->
-    distinct pairs -> signature verification.  Returns (edges,
-    hot-bucket log)."""
-    bands = lsh_bands(signatures, cfg).materialize()  # consumed twice
-    hot, log = find_hot_buckets(bands, cfg, num_partitions=cfg.num_partitions)
-    salted = salt_band_rows(bands, hot, cfg)
-    pairs = dedupe_pairs(
-        bucket_candidate_pairs(salted, cfg, num_partitions=cfg.num_partitions),
-        num_partitions=cfg.num_partitions,
+    """Full near-dup candidate path: bands -> fused salted-bucket pair
+    kernel -> signature verification (pair dedupe fused into the verify
+    kernel).  Returns (edges with urls, hot-bucket log)."""
+    bands = lsh_bands(signatures, cfg)
+    fused = fused_candidate_pairs(bands, cfg, num_partitions=cfg.num_partitions)
+    # split off the log rows (tiny) on the driver; pair rows stream on
+    log: list[dict] = []
+    for b in fused.iter_batches(batch_format="pyarrow", batch_size=65536):
+        if "meta" not in b.column_names or len(b) == 0:
+            continue
+        mask = b["meta"].to_numpy(zero_copy_only=False) == 1
+        if mask.any():
+            for size, band in zip(
+                b["u_id"].to_numpy(zero_copy_only=False)[mask].tolist(),
+                b["v_id"].to_numpy(zero_copy_only=False)[mask].tolist(),
+            ):
+                log.append(
+                    {
+                        "band_id": band,
+                        "bucket_size": size,
+                        "n_salts": -(-size // cfg.bucket_cap),
+                    }
+                )
+    pairs = fused.map_batches(
+        lambda t: t.filter(pc.equal(t["meta"], 0)).select(["u_id", "v_id"])
+        if "meta" in t.column_names
+        else _EMPTY_PAIRS,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
+    # dedupe before verification: a pair colliding in b of 32 bands
+    # appears b times; one slim 16-byte-row exchange here keeps b x
+    # signature-attach volume out of the (much heavier) verify shuffle
+    pairs = dedupe_pairs(pairs, num_partitions=cfg.num_partitions)
     edges = verify_pairs(pairs, signatures, cfg, num_partitions=cfg.num_partitions)
     return edges, log

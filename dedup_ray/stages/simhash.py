@@ -1,0 +1,153 @@
+"""SimHash near-dup detection with Hamming-distance banding —
+the SimHash path named in the north rule (BASELINE.json:14), beyond
+the exact-simhash-match grouping in neardup_queries.
+
+Standard trick (Manku/Jain/Sarma, WWW'07 "Detecting Near-Duplicates
+for Web Crawling"): to find pairs within Hamming distance <= d of a
+64-bit simhash, split the hash into d+1 blocks — any pair within
+distance d agrees EXACTLY on at least one block (pigeonhole), so
+block-equality buckets are a complete candidate generator.  Exact
+Hamming verification runs vectorized inside the bucket kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from dedup_ray.config import DedupConfig
+from dedup_ray.core import numeric_key_u64, partitioned_kernel, segments
+
+_EMPTY = pa.table(
+    {
+        "u": pa.array([], type=pa.string()),
+        "v": pa.array([], type=pa.string()),
+        "hamming": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def simhash_hamming_pairs(
+    signatures: ray.data.Dataset,
+    cfg: DedupConfig,
+    *,
+    max_hamming: int = 3,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """signatures (url, simhash64, n_shingles) -> pairs with
+    popcount(simhash_u XOR simhash_v) <= max_hamming.
+
+    Emits (d+1) block rows per doc; one groupby on (block_id,
+    block_value); vectorized all-pairs Hamming check per bucket
+    (buckets are tiny: 16-bit blocks over a mostly-unique corpus).
+    """
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+
+    def to_blocks(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater(t["n_shingles"], 0))
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {
+                    "block_id": pa.array([], type=pa.int32()),
+                    "block_val": pa.array([], type=pa.int64()),
+                    "url": pa.array([], type=pa.string()),
+                    "simhash64": pa.array([], type=pa.int64()),
+                }
+            )
+        sh = t["simhash64"].to_numpy(zero_copy_only=False).view(np.uint64)
+        block_ids, block_vals, urls, shs = [], [], [], []
+        url_np = t["url"].to_numpy(zero_copy_only=False)
+        for b in range(n_blocks):
+            shift = np.uint64(b * width)
+            mask = np.uint64((1 << width) - 1)
+            block_ids.append(np.full(n, b, dtype=np.int32))
+            block_vals.append(((sh >> shift) & mask).astype(np.int64))
+            urls.append(url_np)
+            shs.append(sh.view(np.int64))
+        return pa.table(
+            {
+                "block_id": pa.array(np.concatenate(block_ids), type=pa.int32()),
+                "block_val": pa.array(np.concatenate(block_vals), type=pa.int64()),
+                "url": pa.array(np.concatenate(urls), type=pa.string()),
+                "simhash64": pa.array(np.concatenate(shs), type=pa.int64()),
+            }
+        )
+
+    blocks = signatures.select_columns(["url", "simhash64", "n_shingles"]).map_batches(
+        to_blocks, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    key_cols = ["block_id", "block_val"]
+
+    def kernel(g: pa.Table) -> pa.Table:
+        k = numeric_key_u64(g, key_cols)
+        order = np.argsort(k, kind="stable")
+        starts, lens = segments(k[order])
+        multi = lens >= 2
+        if not multi.any():
+            return _EMPTY
+        urls = np.array(g["url"].to_pylist(), dtype=object)[order]
+        sh = g["simhash64"].to_numpy(zero_copy_only=False).view(np.uint64)[order]
+        out_u, out_v, out_h = [], [], []
+        for s, L in zip(starts[multi].tolist(), lens[multi].tolist()):
+            seg_urls = urls[s : s + L]
+            seg_sh = sh[s : s + L]
+            iu, jv = np.triu_indices(L, k=1)
+            x = seg_sh[iu] ^ seg_sh[jv]
+            # vectorized popcount via byte-view unpackbits
+            ham = (
+                np.unpackbits(np.ascontiguousarray(x).view(np.uint8).reshape(-1, 8), axis=1)
+                .sum(axis=1)
+                .astype(np.int64)
+            )
+            keep = (ham <= max_hamming) & (seg_urls[iu] != seg_urls[jv])
+            a, b = seg_urls[iu[keep]], seg_urls[jv[keep]]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            out_u.append(lo)
+            out_v.append(hi)
+            out_h.append(ham[keep])
+        if not out_u:
+            return _EMPTY
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate(out_u), type=pa.string()),
+                "v": pa.array(np.concatenate(out_v), type=pa.string()),
+                "hamming": pa.array(np.concatenate(out_h), type=pa.int64()),
+            }
+        )
+
+    pairs = partitioned_kernel(
+        blocks,
+        lambda t: numeric_key_u64(t, key_cols),
+        kernel,
+        num_partitions=num_partitions or 64,
+        empty_result=_EMPTY,
+    )
+
+    # dedupe across blocks (a close pair can agree on several blocks)
+    def uniq(g: pa.Table) -> pa.Table:
+        us = np.array(g["u"].to_pylist(), dtype=object)
+        vs = np.array(g["v"].to_pylist(), dtype=object)
+        combined = np.array(
+            [f"{a}\x00{b}" for a, b in zip(us.tolist(), vs.tolist())], dtype=object
+        )
+        _, idx = np.unique(combined, return_index=True)
+        return g.take(pa.array(np.sort(idx)))
+
+    from dedup_ray.core import hash_strings_u64
+
+    return partitioned_kernel(
+        pairs,
+        lambda t: hash_strings_u64(
+            [f"{a}\x00{b}" for a, b in zip(t["u"].to_pylist(), t["v"].to_pylist())]
+        ),
+        uniq,
+        num_partitions=16,
+        empty_result=_EMPTY,
+    )

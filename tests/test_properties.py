@@ -103,21 +103,21 @@ def test_salt_split_preserves_connectivity(ray_session):
 
     cfg = DedupConfig(bucket_cap=8)
     n = 40
-    urls = [f"u{i:03d}" for i in range(n)]
+    ids = list(range(1000, 1000 + n))
     band = pa.table(
         {
             "band_id": pa.array([0] * n, pa.int32()),
             "band_hash": pa.array([12345] * n, pa.int64()),
-            "url": pa.array(urls, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
         }
     )
     hot = {(0, 12345): 5}
     salted = salt_band_rows(ray.data.from_arrow(band), hot, cfg)
     pairs = bucket_candidate_pairs(salted, cfg).to_pandas()
     d = DSU()
-    for u, v in zip(pairs["u"], pairs["v"]):
-        d.union(u, v)
-    roots = {d.find(u) for u in urls}
+    for u, v in zip(pairs["u_id"], pairs["v_id"]):
+        d.union(str(u), str(v))
+    roots = {d.find(str(i)) for i in ids}
     assert len(roots) == 1, f"salting split the bucket into {len(roots)} components"
     # and the pair count stayed near-linear, NOT O(n^2)
     assert len(pairs) < n * cfg.bucket_cap

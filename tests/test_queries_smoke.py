@@ -12,6 +12,9 @@ ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
 
 EXPECT_COLS = {
     "dedup_full": {"url", "cluster_id", "kind", "is_canonical"},
+    "simhash_hamming": {"u", "v", "hamming"},
+    "ngram_jaccard_pairs": {"u", "v", "kind", "score"},
+    "sample_pages": {"url", "text", "lang"},
     "minhash_signatures": {"url", "n_shingles", "simhash64"},
     "lsh_band_rows": {"band_id", "band_hash", "url"},
     "minhash_edge_list": {"u", "v", "kind", "score"},
@@ -31,6 +34,9 @@ LIGHT = [
     "lang_id",
     "doc_fingerprint",
     "embedding_ann_lsh",
+    "sample_pages",
+    "simhash_hamming",
+    "ngram_jaccard_pairs",
 ]
 
 
@@ -43,7 +49,7 @@ def test_rows_only_query_runs(name, sf_smoke):
     fn = entrymod.queries()[name]
     df = fn(sf_smoke).to_pandas()
     assert set(EXPECT_COLS[name]) <= set(df.columns), (name, df.columns)
-    if name != "embedding_ann_lsh":
+    if name not in ("embedding_ann_lsh", "simhash_hamming", "ngram_jaccard_pairs"):
         assert len(df) > 0
 
 
