@@ -35,6 +35,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = p.parse_args(argv)
 
+    import os
+
+    if not os.path.exists(args.input):
+        p.error(f"--input path does not exist: {args.input}")
+
     import ray
 
     if not ray.is_initialized():
