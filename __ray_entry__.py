@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": rel.customers_without_orders,
         "events_hourly_window": rel.events_hourly_window,
         "union_shards": rel.union_shards,
+        "customers_per_region": rel.customers_per_region,
+        "top2_orders_per_customer": rel.top2_orders_per_customer,
     }
     from dedup_ray.functions import text as tx
     from dedup_ray.stages import embedding as emb
@@ -95,6 +97,8 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "events_hourly_window": rel.EVENTS_HOURLY_WINDOW_SQL,
         "union_shards": rel.UNION_SHARDS_SQL,
+        "customers_per_region": rel.CUSTOMERS_PER_REGION_SQL,
+        "top2_orders_per_customer": rel.TOP2_ORDERS_PER_CUSTOMER_SQL,
     }
     from dedup_ray.functions import text as tx
     from dedup_ray.stages import embedding as emb

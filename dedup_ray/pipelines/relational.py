@@ -390,3 +390,135 @@ FROM (SELECT * FROM events WHERE value < 0
       SELECT * FROM events WHERE value >= 0)
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------- B21 3-way
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _worker_region_map(ref):
+    return ray.get(ref)
+
+
+def _enrich_region(t: pa.Table, ref) -> pa.Table:
+    m = _worker_region_map(ref)
+    names = [m.get(k) for k in t["c_nationkey"].to_pylist()]
+    return pa.table(
+        {
+            "r_name": pa.array(names, type=pa.string()),
+            "c_acctbal": t["c_acctbal"],
+        }
+    )
+
+
+def customers_per_region(sf_dir: str) -> ray.data.Dataset:
+    """3-way dimension join customer ⨝ nation ⨝ region via BROADCAST
+    (both dimension tables are small): build the custkey->region-name
+    mapping once on the driver, ray.put it, and enrich per batch — the
+    canonical star-schema pattern that avoids chained shuffle joins
+    entirely (and Ray 2.49's chained-join defect, see stages/lsh.py)."""
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    n2r = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    ).set_index("n_nationkey")["r_name"].to_dict()
+    ref = ray.put(n2r)
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+    )
+    enriched = customer.map_batches(
+        _enrich_region, fn_kwargs={"ref": ref}, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = enriched.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="bal_raw")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "r_name": t["r_name"],
+                "n_customers": pc.cast(t["n_customers"], pa.int64()),
+                "total_acctbal": sql_round(t["bal_raw"], 2),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+CUSTOMERS_PER_REGION_SQL = """
+SELECT r_name,
+       count(*)                  AS n_customers,
+       round(sum(c_acctbal), 2)  AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------- window fn
+def top2_orders_per_customer(sf_dir: str) -> ray.data.Dataset:
+    """Window function (row_number over partition): top-2 orders per
+    customer by (totalprice desc, orderkey) — a vectorized partition
+    kernel (rank-within-segment), not per-group python."""
+    import numpy as np
+
+    from dedup_ray.core import partitioned_kernel, segments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    empty = pa.table(
+        {
+            "o_custkey": pa.array([], pa.int64()),
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_totalprice": pa.array([], pa.float64()),
+            "rn": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        cust = g["o_custkey"].to_numpy(zero_copy_only=False)
+        okey = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        price = g["o_totalprice"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, -price, cust))
+        cs = cust[order]
+        starts, lens = segments(cs)
+        seg_id = np.repeat(np.arange(len(starts)), lens)
+        rank = np.arange(len(cs)) - starts[seg_id]
+        keep = rank < 2
+        idx = pa.array(order[keep])
+        return pa.table(
+            {
+                "o_custkey": g["o_custkey"].take(idx),
+                "o_orderkey": g["o_orderkey"].take(idx),
+                "o_totalprice": g["o_totalprice"].take(idx),
+                "rn": pa.array(rank[keep] + 1, type=pa.int64()),
+            }
+        )
+
+    return partitioned_kernel(
+        ds,
+        lambda t: t["o_custkey"].to_numpy(zero_copy_only=False).astype("uint64"),
+        kernel,
+        num_partitions=16,
+        empty_result=empty,
+    )
+
+
+TOP2_ORDERS_PER_CUSTOMER_SQL = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, cast(rn AS bigint) AS rn
+FROM ranked WHERE rn <= 2
+"""
