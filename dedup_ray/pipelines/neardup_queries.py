@@ -63,14 +63,15 @@ def minhash_signatures(sf_dir: str) -> ray.data.Dataset:
 
 
 def lsh_band_rows(sf_dir: str) -> ray.data.Dataset:
-    """Exploded LSH band rows (band_id, band_hash, url)."""
+    """Exploded LSH band rows (band_id, band_hash, doc_id) — the slim
+    fixed-width rows the banded exchange actually moves."""
     bands = lsh_bands(minhash_signatures_stage(_winners(sf_dir), DEFAULT_CONFIG), DEFAULT_CONFIG)
     return bands.map_batches(
         lambda t: pa.table(
             {
                 "band_id": t["band_id"],
                 "band_hash": pc.cast(t["band_hash"], pa.string()),
-                "url": t["url"],
+                "doc_id": pc.cast(t["doc_id"], pa.string()),
             }
         ),
         batch_format="pyarrow",
@@ -193,10 +194,19 @@ def ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
 
 
 def sample_pages(sf_dir: str) -> ray.data.Dataset:
-    """Seeded uniform sample (SURVEY B20) — rows-only check (the seed
-    makes the row COUNT deterministic across runs)."""
+    """Deterministic ~10% sample (SURVEY B20): hash(url) % 10 == 0.
+    Unlike random_sample(seed=...), the selected ROWS are a pure
+    function of content — invariant to block layout and run order, so
+    the driver's rows-only check is stable."""
+    from dedup_ray.stages.lsh import hash_url
+
     ds = documents_as_pages(sf_dir)
-    return ds.random_sample(0.1, seed=42)
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = pa.array([hash_url(u) % 10 == 0 for u in t["url"].to_pylist()])
+        return t.filter(keep)
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
 
 QUERIES = {

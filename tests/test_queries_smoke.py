@@ -16,7 +16,7 @@ EXPECT_COLS = {
     "ngram_jaccard_pairs": {"u", "v", "kind", "score"},
     "sample_pages": {"url", "text", "lang"},
     "minhash_signatures": {"url", "n_shingles", "simhash64"},
-    "lsh_band_rows": {"band_id", "band_hash", "url"},
+    "lsh_band_rows": {"band_id", "band_hash", "doc_id"},
     "minhash_edge_list": {"u", "v", "kind", "score"},
     "substring_edge_list": {"u", "v", "kind", "score"},
     "simhash_dedup": {"url", "simhash_cluster"},
