@@ -63,8 +63,41 @@ def main(argv: list[str] | None = None) -> int:
         kw["seed"] = args.seed
     cfg = DedupConfig(**kw)
 
+    pages_loader = None
+    if args.priority_col:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from dedup_ray.sources.pages import read_pages_parquet
+        from dedup_ray.stages.extract import extract_text
+
+        prio_col = args.priority_col
+        from dedup_ray.sources.pages import PAGES_COLUMNS
+
+        def pages_loader(path):  # noqa: F811 — intentional closure
+            cols = list(dict.fromkeys(PAGES_COLUMNS + [prio_col]))
+            ds = extract_text(read_pages_parquet(path, columns=cols))
+
+            def set_priority(t: pa.Table) -> pa.Table:
+                prio = pc.cast(t[prio_col], pa.int64())
+                if "priority" in t.column_names:
+                    t = t.drop_columns(["priority"])
+                return t.append_column("priority", prio)
+
+            return ds.map_batches(
+                set_priority, batch_format="pyarrow", zero_copy_batch=True
+            )
+
     assignments, report = run_flagship_checkpointed(
-        args.input, args.out, cfg, substring_pass=not args.no_substring
+        args.input,
+        args.out,
+        cfg,
+        substring_pass=not args.no_substring,
+        pages_loader=pages_loader,
+        # a custom priority column invalidates the min-url == canonical
+        # shortcut for MERGED near-dup clusters; use the general
+        # per-cluster winner selection
+        uniform_priority=args.priority_col is None,
     )
     write_assignments_parquet(assignments, f"{args.out}/assignments_by_kind")
     report_path = write_run_report(report, args.out)

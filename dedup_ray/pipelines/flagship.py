@@ -181,6 +181,7 @@ def run_flagship_checkpointed(
     *,
     substring_pass: bool = True,
     pages_loader=None,
+    uniform_priority: bool = True,
 ):
     """The resumable production entry point (BASELINE.json:6,14): the
     flagship stage graph with a Parquet checkpoint + manifest at every
@@ -284,7 +285,9 @@ def run_flagship_checkpointed(
             edges = edges.union(ss_edges)
 
     def build_assignments():
-        return cluster_and_assign(members, edges, cfg)
+        return cluster_and_assign(
+            members, edges, cfg, assume_uniform_priority=uniform_priority
+        )
 
     assignments, _fp = run.run_stage(
         "assignments", [fp_members, *edge_fps], build_assignments

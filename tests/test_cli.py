@@ -1,0 +1,107 @@
+"""CLI end-to-end test (subprocess — the CLI owns its own Ray
+session, so it must not run in the pytest session's Ray)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+from dedup_ray.fixtures import generate_pages
+
+
+@pytest.mark.slow
+def test_cli_run_and_resume(tmp_path):
+    indir = tmp_path / "in"
+    indir.mkdir()
+    pages, _ = generate_pages(300, seed=9)
+    pq.write_table(pages, str(indir / "pages.parquet"))
+    out = tmp_path / "out"
+
+    def run():
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "dedup_ray",
+                "--input",
+                str(indir),
+                "--out",
+                str(out),
+                "--cpus",
+                "4",
+                "--no-substring",
+            ],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout)
+
+    s1 = run()
+    assert s1["n_pages"] == 300
+    assert s1["n_clusters"] < 300  # fixture plants duplicates
+    assert os.path.exists(s1["report"])
+    assert any(d.startswith("kind=") for d in os.listdir(s1["assignments"]))
+
+    s2 = run()
+    assert all(v == "skipped" for v in s2["stages"].values())
+    assert s2["n_clusters"] == s1["n_clusters"]
+
+
+@pytest.mark.slow
+def test_cli_priority_col(tmp_path):
+    """--priority-col flips the winner inside duplicate groups."""
+    import pyarrow as pa
+
+    indir = tmp_path / "in2"
+    indir.mkdir()
+    tbl = pa.table(
+        {
+            "url": pa.array(["a", "b"], pa.string()),
+            "warc_ts": pa.array([0, 0], pa.timestamp("us")),
+            "html": pa.array(
+                [b"<html><body>dup text</body></html>"] * 2, pa.binary()
+            ),
+            "text": pa.array(["dup text"] * 2),
+            "lang": pa.array(["en", "en"]),
+            "rank": pa.array([9, 1], pa.int64()),  # b should win
+        }
+    )
+    pq.write_table(tbl, str(indir / "pages.parquet"))
+    out = tmp_path / "out2"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "dedup_ray",
+            "--input",
+            str(indir),
+            "--out",
+            str(out),
+            "--cpus",
+            "4",
+            "--no-substring",
+            "--priority-col",
+            "rank",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import pandas as pd
+
+    import glob
+
+    files = glob.glob(str(out / "assignments_by_kind" / "**" / "*.parquet"), recursive=True)
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    # kind is a hive partition column; recover membership from files
+    assert set(df["url"]) == {"a", "b"}
+    assert bool(df.set_index("url").loc["b", "is_canonical"])
+    assert not bool(df.set_index("url").loc["a", "is_canonical"])
