@@ -55,9 +55,13 @@ def _members_kernel(g: pa.Table) -> pa.Table:
     (losers' text is byte-identical, so the duplicated payload is
     dropped at the earliest boundary — the web-scale 'dedupe before
     you minhash' move)."""
+    from dedup_ray.util import ensure_doc_ids
+
+    g = ensure_doc_ids(g)
     shas = np.array(g["content_sha256"].to_pylist(), dtype=object)
     urls = np.array(g["url"].to_pylist(), dtype=object)
     prio = g["priority"].to_numpy(zero_copy_only=False)
+    ids = g["doc_id"].to_numpy(zero_copy_only=False)
     _, inv = np.unique(shas, return_inverse=True)
     order = np.lexsort((urls, prio, inv))
     from dedup_ray.core import segments
@@ -67,6 +71,7 @@ def _members_kernel(g: pa.Table) -> pa.Table:
     is_winner_sorted = np.zeros(n, dtype=bool)
     is_winner_sorted[starts] = True
     winner_urls_sorted = np.repeat(urls[order][starts], lens)
+    winner_ids_sorted = np.repeat(ids[order][starts], lens)
     group_n_sorted = np.repeat(lens, lens)
 
     gt = g.take(pa.array(order))
@@ -75,10 +80,12 @@ def _members_kernel(g: pa.Table) -> pa.Table:
 
     cols = {
         "url": gt["url"],
+        "doc_id": gt["doc_id"],
         "content_sha256": gt["content_sha256"],
         "n_chars": gt["n_chars"],
         "priority": gt["priority"],
         "winner_url": pa.array(winner_urls_sorted, type=pa.string()),
+        "winner_id": pa.array(winner_ids_sorted, type=pa.int64()),
         "group_n": pa.array(group_n_sorted, type=pa.int64()),
         "is_exact_winner": mask,
         "text": pc.if_else(mask, gt["text"], pa.scalar(None, pa.string())),
@@ -91,10 +98,12 @@ def _members_kernel(g: pa.Table) -> pa.Table:
 _MEMBERS_EMPTY = pa.table(
     {
         "url": pa.array([], type=pa.string()),
+        "doc_id": pa.array([], type=pa.int64()),
         "content_sha256": pa.array([], type=pa.string()),
         "n_chars": pa.array([], type=pa.int64()),
         "priority": pa.array([], type=pa.int64()),
         "winner_url": pa.array([], type=pa.string()),
+        "winner_id": pa.array([], type=pa.int64()),
         "group_n": pa.array([], type=pa.int64()),
         "is_exact_winner": pa.array([], type=pa.bool_()),
         "text": pa.array([], type=pa.string()),

@@ -17,9 +17,12 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+
+from dedup_ray.util import hash_urls_u64
 
 
 def _sha256_batch(batch: pa.Table) -> pa.Table:
@@ -39,9 +42,19 @@ def _sha256_batch(batch: pa.Table) -> pa.Table:
     )
     batch = batch.append_column("content_sha256", pa.array(digests, type=pa.string()))
     batch = batch.append_column("sha_u64", pa.array(sha_u64, type=pa.int64()))
-    return batch.append_column("n_chars", n_chars)
+    batch = batch.append_column("n_chars", n_chars)
+    if "doc_id" not in batch.column_names:
+        # hash urls ONCE here; every downstream stage (bands, verify,
+        # union-find, assignment lookup) keys on this int64 instead of
+        # re-hashing strings on its hot path
+        ids = hash_urls_u64(batch["url"].to_pylist())
+        batch = batch.append_column(
+            "doc_id", pa.array(ids.view(np.int64), type=pa.int64())
+        )
+    return batch
 
 
 def add_content_sha256(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """pages -> hashed: append ``content_sha256`` (hex) and ``n_chars``."""
+    """pages -> hashed: append ``content_sha256`` (hex), ``n_chars`` and
+    the ingest-computed ``doc_id`` (int64 view of blake2b-64 of url)."""
     return ds.map_batches(_sha256_batch, batch_format="pyarrow", zero_copy_batch=True)

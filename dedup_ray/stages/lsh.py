@@ -40,7 +40,6 @@ Design decisions, with the 100-TB rationale:
 from __future__ import annotations
 
 import functools
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -50,7 +49,13 @@ import ray.data
 
 from dedup_ray.config import DedupConfig
 from dedup_ray.core import numeric_key_u64, partitioned_kernel, segments
-from dedup_ray.util import combine_rows_u64, splitmix64, u64_matrix_to_binary
+from dedup_ray.util import (
+    combine_rows_u64,
+    ensure_doc_ids,
+    hash_url,  # noqa: F401 — re-export (doc_id hash lives in util now)
+    splitmix64,
+    u64_matrix_to_binary,
+)
 
 #: buckets up to this size emit all pairs; larger ones a star to min
 STAR_THRESHOLD = 8
@@ -69,17 +74,10 @@ _EMPTY_EDGES = pa.table(
 )
 
 
-def hash_url(u: str) -> int:
-    """Stable (process-independent) 64-bit url hash — the doc_id."""
-    return int.from_bytes(hashlib.blake2b(u.encode(), digest_size=8).digest(), "little")
-
-
-def add_doc_ids(t: pa.Table) -> pa.Table:
-    """Append doc_id (int64 view of hash_url) to a table with url."""
-    ids = np.fromiter(
-        (hash_url(u) for u in t["url"].to_pylist()), dtype=np.uint64, count=len(t)
-    )
-    return t.append_column("doc_id", pa.array(ids.view(np.int64), type=pa.int64()))
+#: doc_id is computed ONCE at ingest (hashing.add_content_sha256) and
+#: carried as a column; ensure_doc_ids is the fallback for tables built
+#: outside the ingest path (tests / ad-hoc fixtures).
+add_doc_ids = ensure_doc_ids
 
 
 def lsh_bands(signatures: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
@@ -425,27 +423,21 @@ def verify_pairs(
     estimated Jaccard (fraction of agreeing components) >=
     cfg.verify_tau; output edges carry the URLS (provided by the
     signature rows, so the banded path never shipped them).
+
+    The attach step is a DISTRIBUTED SEMI-JOIN: signature rows and pair
+    member rows ride the same hash exchange keyed on doc_id, and the
+    attach kernel drops every signature whose doc appears in no pair.
+    Nothing is collected on the driver (the r01 broadcast-filter variant
+    np.unique'd every candidate id driver-side — OOM at 10^12 docs).
+    Exchange volume: the signature table moves exactly once (~1 KB/doc),
+    which is within a small factor of optimal because the candidate-
+    incident doc set is itself a large fraction of the corpus at scale.
     """
     P = num_partitions or 64
     num_perms = cfg.num_perms
 
-    # broadcast-filter the signature side to candidate doc ids
-    id_parts = []
-    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=65536):
-        if "u_id" in b.column_names and len(b):
-            id_parts.append(b["u_id"].to_numpy(zero_copy_only=False))
-            id_parts.append(b["v_id"].to_numpy(zero_copy_only=False))
-    if not id_parts:
-        return ray.data.from_arrow(_EMPTY_EDGES)
-    pair_ids = np.unique(np.concatenate(id_parts))
-    pid_ref = ray.put(pair_ids)
-
     def sig_rows(t: pa.Table) -> pa.Table:
-        needed = _worker_pair_ids(pid_ref)
-        t = add_doc_ids(t)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        keep = np.isin(ids, needed)
-        t = t.filter(pa.array(keep))
+        t = ensure_doc_ids(t)
         n = len(t)
         sig = t["minhash"].combine_chunks()
         flat = sig.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -461,7 +453,20 @@ def verify_pairs(
             }
         )
 
+    _tall_empty = pa.table(
+        {
+            "gkey": pa.array([], type=pa.int64()),
+            "u_id": pa.array([], type=pa.int64()),
+            "v_id": pa.array([], type=pa.int64()),
+            "slot": pa.array([], type=pa.int32()),
+            "sig": pa.array([], type=pa.binary()),
+            "url": pa.array([], type=pa.string()),
+        }
+    )
+
     def pair_rows(t: pa.Table) -> pa.Table:
+        if "u_id" not in t.column_names or len(t) == 0:
+            return _tall_empty
         u = t["u_id"].combine_chunks()
         v = t["v_id"].combine_chunks()
         n = len(t)
@@ -480,7 +485,10 @@ def verify_pairs(
             }
         )
 
-    tall = signatures.select_columns(["url", "minhash"]).map_batches(
+    sig_cols = ["url", "minhash"] + (
+        ["doc_id"] if "doc_id" in signatures.schema().names else []
+    )
+    tall = signatures.select_columns(sig_cols).map_batches(
         sig_rows, batch_format="pyarrow", zero_copy_batch=True
     ).union(
         pairs.map_batches(pair_rows, batch_format="pyarrow", zero_copy_batch=True)
@@ -597,11 +605,6 @@ def verify_pairs(
         num_partitions=P,
         empty_result=_EMPTY_EDGES,
     )
-
-
-@functools.lru_cache(maxsize=8)
-def _worker_pair_ids(ref) -> np.ndarray:
-    return ray.get(ref)
 
 
 def segments_obj(sorted_vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -725,24 +728,28 @@ def minhash_edges(
     kernel).  Returns (edges with urls, hot-bucket log)."""
     bands = lsh_bands(signatures, cfg)
     fused = fused_candidate_pairs(bands, cfg, num_partitions=cfg.num_partitions)
-    # split off the log rows (tiny) on the driver; pair rows stream on
+    # split off the log rows: filter DISTRIBUTEDLY first so only the
+    # (tiny, by definition: one row per capped bucket) log stream ever
+    # reaches the driver — the pair rows are never driver-iterated
     log: list[dict] = []
-    for b in fused.iter_batches(batch_format="pyarrow", batch_size=65536):
-        if "meta" not in b.column_names or len(b) == 0:
+    log_rows = fused.map_batches(
+        lambda t: t.filter(pc.equal(t["meta"], 1)).select(["u_id", "v_id"])
+        if "meta" in t.column_names
+        else _EMPTY_PAIRS,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    for b in log_rows.iter_batches(batch_format="pyarrow", batch_size=65536):
+        if "u_id" not in b.column_names:
             continue
-        mask = b["meta"].to_numpy(zero_copy_only=False) == 1
-        if mask.any():
-            for size, band in zip(
-                b["u_id"].to_numpy(zero_copy_only=False)[mask].tolist(),
-                b["v_id"].to_numpy(zero_copy_only=False)[mask].tolist(),
-            ):
-                log.append(
-                    {
-                        "band_id": band,
-                        "bucket_size": size,
-                        "n_salts": -(-size // cfg.bucket_cap),
-                    }
-                )
+        for size, band in zip(b["u_id"].to_pylist(), b["v_id"].to_pylist()):
+            log.append(
+                {
+                    "band_id": band,
+                    "bucket_size": size,
+                    "n_salts": -(-size // cfg.bucket_cap),
+                }
+            )
     pairs = fused.map_batches(
         lambda t: t.filter(pc.equal(t["meta"], 0)).select(["u_id", "v_id"])
         if "meta" in t.column_names

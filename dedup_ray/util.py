@@ -37,6 +37,36 @@ def blake2b_u64(data: bytes, *, seed: int = 0) -> int:
     return int.from_bytes(h.digest(), "little")
 
 
+def hash_url(u: str) -> int:
+    """Stable (process-independent) 64-bit url hash — the doc_id.
+    Computed ONCE at ingest (stages/hashing.add_content_sha256) and
+    carried as a column so hot band/exchange paths never re-hash
+    strings (VERDICT r01 item 9)."""
+    h = hashlib.blake2b((u or "").encode(), digest_size=8)
+    return int.from_bytes(h.digest(), "little")
+
+
+def hash_urls_u64(urls: list) -> np.ndarray:
+    """Vectorized-loop hash_url over a list of strings -> uint64."""
+    out = np.empty(len(urls), dtype=np.uint64)
+    b2 = hashlib.blake2b
+    for i, u in enumerate(urls):
+        out[i] = int.from_bytes(b2((u or "").encode(), digest_size=8).digest(), "little")
+    return out
+
+
+def ensure_doc_ids(t, url_col: str = "url"):
+    """Append ``doc_id`` (int64 reinterpret of hash_url) if absent.
+    Fallback for tables built outside the ingest path (tests, ad-hoc
+    fixtures); pipeline tables carry doc_id from add_content_sha256."""
+    import pyarrow as pa
+
+    if "doc_id" in t.column_names:
+        return t
+    ids = hash_urls_u64(t[url_col].to_pylist())
+    return t.append_column("doc_id", pa.array(ids.view(np.int64), type=pa.int64()))
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer — decorrelates polynomial hashes."""
     with _ERRSTATE:
