@@ -58,21 +58,23 @@ def main(argv: list[str] | None = None) -> int:
     from dedup_ray.sources.sinks import write_assignments_parquet, write_run_report
     from dedup_ray.stages.exact import dup_stats
 
-    kw = {"jaccard_tau": args.tau}
+    kw = {"jaccard_tau": args.tau, "priority_col": args.priority_col or None}
     if args.seed is not None:
         kw["seed"] = args.seed
+    # priority_col is a SEMANTIC config field: it participates in
+    # config_hash, so resuming an --out dir after changing it re-runs
+    # the winner-dependent stages instead of silently reusing them
     cfg = DedupConfig(**kw)
 
     pages_loader = None
-    if args.priority_col:
+    if cfg.priority_col:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        from dedup_ray.sources.pages import read_pages_parquet
+        from dedup_ray.sources.pages import PAGES_COLUMNS, read_pages_parquet
         from dedup_ray.stages.extract import extract_text
 
-        prio_col = args.priority_col
-        from dedup_ray.sources.pages import PAGES_COLUMNS
+        prio_col = cfg.priority_col
 
         def pages_loader(path):  # noqa: F811 — intentional closure
             cols = list(dict.fromkeys(PAGES_COLUMNS + [prio_col]))
@@ -95,9 +97,8 @@ def main(argv: list[str] | None = None) -> int:
         substring_pass=not args.no_substring,
         pages_loader=pages_loader,
         # a custom priority column invalidates the min-url == canonical
-        # shortcut for MERGED near-dup clusters; use the general
-        # per-cluster winner selection
-        uniform_priority=args.priority_col is None,
+        # shortcut for MERGED near-dup clusters; derived from cfg
+        uniform_priority=None,
     )
     write_assignments_parquet(assignments, f"{args.out}/assignments_by_kind")
     report_path = write_run_report(report, args.out)

@@ -62,6 +62,15 @@ class DedupConfig:
     #: window w = substring_min_len - winnow_gram + 1.
     winnow_gram: int = 64
 
+    # --- canonical-selection priority ---------------------------------
+    #: optional pages column used as keep-priority (lower wins; None =
+    #: uniform priority, canonical member == min-url cluster label).
+    #: SEMANTIC: changes winner selection in members AND assignments,
+    #: so it participates in config_hash — resuming a checkpoint dir
+    #: after changing it re-runs those stages instead of silently
+    #: reusing winners picked under the old priority.
+    priority_col: str | None = None
+
     # --- determinism --------------------------------------------------
     seed: int = 0x5EED_D00D
 
@@ -82,6 +91,20 @@ class DedupConfig:
             )
         if self.winnow_gram >= self.substring_min_len:
             raise ValueError("winnow_gram must be < substring_min_len")
+        if not (0.0 < self.jaccard_tau <= 1.0):
+            raise ValueError(f"jaccard_tau must be in (0, 1], got {self.jaccard_tau}")
+        if not (0.0 <= self.verify_margin < self.jaccard_tau):
+            raise ValueError(
+                "verify_margin must satisfy 0 <= margin < jaccard_tau "
+                f"(got margin={self.verify_margin}, tau={self.jaccard_tau}); "
+                "a non-positive verify threshold would pass every candidate"
+            )
+
+    @property
+    def uniform_priority(self) -> bool:
+        """True when no priority column is configured — the canonical
+        member of every cluster is then by construction the min url."""
+        return self.priority_col is None
 
     @property
     def verify_tau(self) -> float:

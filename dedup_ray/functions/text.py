@@ -18,7 +18,7 @@ from dedup_ray.util import char_rolling_hashes, winnow_select
 
 def token_count(sf_dir: str) -> ray.data.Dataset:
     """Whitespace token count per doc.  Definition chosen to equal
-    DuckDB's length(string_split(text, ' ')) exactly: for ANY string,
+    DuckDB's length(string_split(coalesce(text, ''), ' ')) exactly: for ANY string,
     that equals count(' ') + 1."""
     ds = documents_as_pages(sf_dir)
 
@@ -36,7 +36,7 @@ def token_count(sf_dir: str) -> ray.data.Dataset:
 
 TOKEN_COUNT_SQL = """
 SELECT cast(doc_id AS varchar) AS url,
-       cast(length(string_split(text, ' ')) AS bigint) AS n_tokens
+       cast(length(string_split(coalesce(text, ''), ' ')) AS bigint) AS n_tokens
 FROM documents
 """
 
@@ -78,11 +78,11 @@ def quality_score(sf_dir: str) -> ray.data.Dataset:
 
 QUALITY_SCORE_SQL = """
 SELECT cast(doc_id AS varchar) AS url,
-       cast(length(text) AS bigint)                                   AS n_chars,
-       cast(length(string_split(text, ' ')) AS bigint)                AS n_tokens,
-       cast(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS bigint) AS n_punct,
-       round((length(text) - (length(string_split(text, ' ')) - 1))
-             / cast(length(string_split(text, ' ')) AS double), 4)    AS avg_token_len
+       cast(length(coalesce(text, '')) AS bigint)                                   AS n_chars,
+       cast(length(string_split(coalesce(text, ''), ' ')) AS bigint)                AS n_tokens,
+       cast(length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[.,;:!?]', '', 'g')) AS bigint) AS n_punct,
+       round((length(coalesce(text, '')) - (length(string_split(coalesce(text, ''), ' ')) - 1))
+             / cast(length(string_split(coalesce(text, ''), ' ')) AS double), 4)    AS avg_token_len
 FROM documents
 """
 

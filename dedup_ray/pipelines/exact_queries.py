@@ -39,8 +39,8 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
 
 EXACT_DEDUP_SQL = """
 SELECT cast(doc_id AS varchar)                                   AS url,
-       sha256(text)                                              AS content_sha256,
-       (row_number() OVER (PARTITION BY sha256(text)
+       sha256(coalesce(text, ''))                                              AS content_sha256,
+       (row_number() OVER (PARTITION BY sha256(coalesce(text, ''))
                            ORDER BY cast(doc_id AS varchar)) = 1) AS is_canonical
 FROM documents
 """
@@ -54,8 +54,8 @@ def exact_dup_stats(sf_dir: str) -> ray.data.Dataset:
 
 EXACT_DUP_STATS_SQL = """
 WITH h AS (
-  SELECT cast(doc_id AS varchar) AS url, sha256(text) AS sha,
-         length(text) AS n_chars
+  SELECT cast(doc_id AS varchar) AS url, sha256(coalesce(text, '')) AS sha,
+         length(coalesce(text, '')) AS n_chars
   FROM documents
 ), w AS (
   SELECT *, row_number() OVER (PARTITION BY sha ORDER BY url) AS rn FROM h
@@ -95,9 +95,9 @@ def topk_largest_clusters(sf_dir: str) -> ray.data.Dataset:
 
 
 TOPK_LARGEST_CLUSTERS_SQL = """
-SELECT sha256(text) AS content_sha256, count(*) AS n
+SELECT sha256(coalesce(text, '')) AS content_sha256, count(*) AS n
 FROM documents
-GROUP BY sha256(text)
+GROUP BY sha256(coalesce(text, ''))
 ORDER BY n DESC, content_sha256
 LIMIT 10
 """

@@ -32,23 +32,68 @@ from dedup_ray.stages.minhash import minhash_signatures_stage
 from dedup_ray.state.unionfind import connected_components
 
 _KIND_RANK = {"exact": 0, "minhash": 1, "substring": 2}
-_RANK_KIND = {v: k for k, v in _KIND_RANK.items()}
+_RANK_KIND_ARR = np.array(["exact", "minhash", "substring"], dtype=object)
+
+_NK_EMPTY = pa.table(
+    {
+        "node": pa.array([], type=pa.string()),
+        "rank": pa.array([], type=pa.int32()),
+    }
+)
+
+
+def _nk_rows(t: pa.Table) -> pa.Table:
+    """edges batch -> exploded (node, rank) rows, kind mapped to its
+    rank via one dictionary-encode pass (no per-row Python)."""
+    if "u" not in t.column_names or len(t) == 0:
+        return _NK_EMPTY
+    enc = t["kind"].combine_chunks().dictionary_encode()
+    rank_of = np.array(
+        [_KIND_RANK[k] for k in enc.dictionary.to_pylist()], dtype=np.int32
+    )
+    ranks = rank_of[enc.indices.to_numpy(zero_copy_only=False)]
+    u = t["u"].combine_chunks()
+    v = t["v"].combine_chunks()
+    return pa.table(
+        {
+            "node": pa.concat_arrays([u, v]),
+            "rank": pa.array(np.concatenate([ranks, ranks]), type=pa.int32()),
+        }
+    )
+
+
+def _nk_kernel(g: pa.Table) -> pa.Table:
+    """Min rank per node — vectorized segment reduction."""
+    from dedup_ray.stages.lsh import segments_obj
+
+    nodes = np.array(g["node"].to_pylist(), dtype=object)
+    ranks = g["rank"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ranks, nodes))
+    starts, _lens = segments_obj(nodes[order])
+    idx = pa.array(order[starts])
+    return pa.table({"node": g["node"].take(idx), "rank": g["rank"].take(idx)})
 
 
 def _node_kinds(edges: ray.data.Dataset) -> dict[str, int]:
-    """Best (lowest-rank) incident edge kind per node — small result
-    (nodes incident to near-dup edges only), reduced per batch before
-    reaching the driver."""
+    """Best (lowest-rank) incident edge kind per node.  Reduced
+    DISTRIBUTEDLY (vectorized partition kernel over a hash exchange);
+    the driver only materializes the final one-row-per-incident-node
+    table — the same cardinality connected_components already holds."""
+    from dedup_ray.core import hash_strings_u64, partitioned_kernel
+
+    rows = edges.map_batches(_nk_rows, batch_format="pyarrow", zero_copy_batch=True)
+    reduced = partitioned_kernel(
+        rows,
+        lambda t: hash_strings_u64(t["node"].to_pylist()),
+        _nk_kernel,
+        num_partitions=16,
+        empty_result=_NK_EMPTY,
+    )
     kinds: dict[str, int] = {}
-    for b in edges.iter_batches(batch_format="pyarrow", batch_size=65536):
-        if "u" not in b.column_names:  # schema-less empty block
+    for b in reduced.iter_batches(batch_format="pyarrow", batch_size=65536):
+        if "node" not in b.column_names:
             continue
-        ks = [_KIND_RANK[k] for k in b["kind"].to_pylist()]
-        for col in ("u", "v"):
-            for node, rank in zip(b[col].to_pylist(), ks):
-                cur = kinds.get(node)
-                if cur is None or rank < cur:
-                    kinds[node] = rank
+        kinds.update(zip(b["node"].to_pylist(), b["rank"].to_pylist()))
     return kinds
 
 
@@ -60,23 +105,56 @@ def _worker_cluster_map(map_ref):
     return ray.get(map_ref)
 
 
+def _broadcast_tables(mapping: dict[str, str], kinds: dict[str, int]):
+    """Dicts -> sorted-uint64-key lookup arrays (winner_id is already a
+    column, so batch lookups become np.searchsorted, not dict probes)."""
+    from dedup_ray.util import hash_urls_u64
+
+    map_keys = hash_urls_u64(list(mapping.keys()))
+    mo = np.argsort(map_keys)
+    map_ids = map_keys[mo]
+    map_cluster = np.array(list(mapping.values()), dtype=object)[mo]
+    kind_keys = hash_urls_u64(list(kinds.keys()))
+    ko = np.argsort(kind_keys)
+    kind_ids = kind_keys[ko]
+    kind_ranks = np.array(list(kinds.values()), dtype=np.int32)[ko]
+    return map_ids, map_cluster, kind_ids, kind_ranks
+
+
 def _assign_batch(t: pa.Table, map_ref, uniform: bool) -> pa.Table:
-    mapping, kinds = _worker_cluster_map(map_ref)
-    urls = t["url"].to_pylist()
-    winners = t["winner_url"].to_pylist()
-    group_n = t["group_n"].to_numpy(zero_copy_only=False)
+    """Vectorized relabel: cluster/kind lookups are searchsorted probes
+    on broadcast uint64-keyed arrays; no per-row Python branches."""
+    import pyarrow.compute as pc
+
+    map_ids, map_cluster, kind_ids, kind_ranks = _worker_cluster_map(map_ref)
     n = len(t)
-    cluster = [mapping.get(w, w) for w in winners]
-    kind = []
-    for i in range(n):
-        if urls[i] != winners[i]:
-            kind.append("exact")
-        elif winners[i] in kinds:
-            kind.append(_RANK_KIND[kinds[winners[i]]])
-        elif group_n[i] > 1:
-            kind.append("exact")
-        else:
-            kind.append("unique")
+    wid = t["winner_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+    winners = np.array(t["winner_url"].to_pylist(), dtype=object)
+    cluster = winners.copy()
+    if len(map_ids):
+        idx = np.minimum(np.searchsorted(map_ids, wid), len(map_ids) - 1)
+        found = map_ids[idx] == wid
+        cluster[found] = map_cluster[idx[found]]
+    is_loser = np.invert(
+        pc.equal(t["url"], t["winner_url"]).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+    )
+    group_n = t["group_n"].to_numpy(zero_copy_only=False)
+    kindrank = np.full(n, -1, dtype=np.int32)
+    if len(kind_ids):
+        kidx = np.minimum(np.searchsorted(kind_ids, wid), len(kind_ids) - 1)
+        kfound = kind_ids[kidx] == wid
+        kindrank[kfound] = kind_ranks[kidx[kfound]]
+    kind = np.where(
+        is_loser,
+        "exact",
+        np.where(
+            kindrank >= 0,
+            _RANK_KIND_ARR[np.maximum(kindrank, 0)],
+            np.where(group_n > 1, "exact", "unique"),
+        ),
+    ).astype(object)
     cols = {
         "url": t["url"],
         "cluster_id": pa.array(cluster, type=pa.string()),
@@ -86,7 +164,8 @@ def _assign_batch(t: pa.Table, map_ref, uniform: bool) -> pa.Table:
         "priority": t["priority"],
     }
     if uniform:
-        cols["is_canonical"] = pa.array([u == c for u, c in zip(urls, cluster)])
+        urls = np.array(t["url"].to_pylist(), dtype=object)
+        cols["is_canonical"] = pa.array(urls == cluster)
     return pa.table(cols)
 
 
@@ -112,7 +191,7 @@ def cluster_and_assign(
     kinds = _node_kinds(edges)
     # broadcast ONCE via ray.put; tasks fetch the shared copy through
     # the worker-singleton below (never re-shipped per task)
-    map_ref = ray.put((mapping, kinds))
+    map_ref = ray.put(_broadcast_tables(mapping, kinds))
 
     assigned = members.map_batches(
         _assign_batch,
@@ -122,17 +201,51 @@ def cluster_and_assign(
     )
     if assume_uniform_priority:
         return assigned
+    return _pick_canonical_by_priority(assigned, num_partitions=cfg.num_partitions)
 
-    def pick(group: pa.Table) -> pa.Table:
-        n = len(group)
-        prio = group["priority"].to_numpy(zero_copy_only=False)
-        urls = group["url"].to_pylist()
-        best = min(range(n), key=lambda i: (prio[i], urls[i]))
-        mask = np.zeros(n, dtype=bool)
-        mask[best] = True
-        return group.append_column("is_canonical", pa.array(mask))
 
-    return assigned.groupby("cluster_id").map_groups(pick, batch_format="pyarrow")
+_PICK_EMPTY = pa.table(
+    {
+        "url": pa.array([], type=pa.string()),
+        "cluster_id": pa.array([], type=pa.string()),
+        "kind": pa.array([], type=pa.string()),
+        "content_sha256": pa.array([], type=pa.string()),
+        "n_chars": pa.array([], type=pa.int64()),
+        "priority": pa.array([], type=pa.int64()),
+        "is_canonical": pa.array([], type=pa.bool_()),
+    }
+)
+
+
+def _pick_canonical_by_priority(
+    assigned: ray.data.Dataset, *, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Non-uniform priority winner rule: canonical member per cluster is
+    min((priority, url)) — a vectorized multi-cluster partition kernel
+    (never one Python UDF per cluster; CLAUDE.md hard rule)."""
+    from dedup_ray.core import hash_strings_u64, partitioned_kernel
+
+    def pick_kernel(g: pa.Table) -> pa.Table:
+        if "cluster_id" not in g.column_names or len(g) == 0:
+            return _PICK_EMPTY
+        from dedup_ray.stages.lsh import segments_obj
+
+        cl = np.array(g["cluster_id"].to_pylist(), dtype=object)
+        urls = np.array(g["url"].to_pylist(), dtype=object)
+        prio = g["priority"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((urls, prio, cl))
+        starts, _lens = segments_obj(cl[order])
+        mask = np.zeros(len(g), dtype=bool)
+        mask[order[starts]] = True
+        return g.append_column("is_canonical", pa.array(mask))
+
+    return partitioned_kernel(
+        assigned,
+        lambda t: hash_strings_u64(t["cluster_id"].to_pylist()),
+        pick_kernel,
+        num_partitions=num_partitions,
+        empty_result=_PICK_EMPTY,
+    )
 
 
 def flagship_assignments_from_pages(
@@ -181,7 +294,7 @@ def run_flagship_checkpointed(
     *,
     substring_pass: bool = True,
     pages_loader=None,
-    uniform_priority: bool = True,
+    uniform_priority: bool | None = None,
 ):
     """The resumable production entry point (BASELINE.json:6,14): the
     flagship stage graph with a Parquet checkpoint + manifest at every
@@ -198,6 +311,10 @@ def run_flagship_checkpointed(
     from dedup_ray.stages.extract import extract_text
     from dedup_ray.state.checkpoint import CheckpointedRun, fingerprint_paths
 
+    if uniform_priority is None:
+        # derived from the SEMANTIC config (cfg.priority_col is part of
+        # config_hash, so a priority change invalidates checkpoints)
+        uniform_priority = cfg.uniform_priority
     run = CheckpointedRun(out_dir, cfg)
     input_fp = fingerprint_paths(input_path)
 

@@ -91,34 +91,55 @@ def substring_edge_list(sf_dir: str) -> ray.data.Dataset:
     return substring_edges(_winners(sf_dir), DEFAULT_CONFIG)
 
 
+_SIMHASH_DEDUP_EMPTY = pa.table(
+    {
+        "url": pa.array([], type=pa.string()),
+        "simhash_cluster": pa.array([], type=pa.string()),
+    }
+)
+
+
 def simhash_dedup(sf_dir: str) -> ray.data.Dataset:
     """SimHash near-dup grouping: exact 64-bit simhash match (the
     cheap variant; hamming-ball probing is the banded extension).
-    Groups of >= 2 get a cluster labeled by min url."""
+    Every doc gets a cluster labeled by its group's min url.
+
+    SimHashes are near-unique, so this runs as ONE vectorized
+    multi-group kernel per hash partition (core.partitioned_kernel) —
+    never one Python UDF call per group."""
+    import numpy as np
+
+    from dedup_ray.core import partitioned_kernel, segments
+
     sigs = minhash_signatures_stage(_winners(sf_dir), DEFAULT_CONFIG)
-
-    def label(group: pa.Table) -> pa.Table:
-        if "url" not in group.column_names:
-            return pa.table(
-                {
-                    "url": pa.array([], type=pa.string()),
-                    "simhash_cluster": pa.array([], type=pa.string()),
-                }
-            )
-        urls = sorted(group["url"].to_pylist())
-        return pa.table(
-            {
-                "url": pa.array(urls, type=pa.string()),
-                "simhash_cluster": pa.array([urls[0]] * len(urls), type=pa.string()),
-            }
-        )
-
     nonempty = sigs.map_batches(
-        lambda t: t.filter(pc.greater(t["n_shingles"], 0)),
+        lambda t: t.filter(pc.greater(t["n_shingles"], 0)).select(
+            ["url", "simhash64"]
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return nonempty.groupby("simhash64").map_groups(label, batch_format="pyarrow")
+
+    def label_kernel(g: pa.Table) -> pa.Table:
+        sh = g["simhash64"].to_numpy(zero_copy_only=False)
+        urls = np.array(g["url"].to_pylist(), dtype=object)
+        order = np.lexsort((urls, sh))
+        starts, lens = segments(sh[order])
+        labels = np.repeat(urls[order][starts], lens)
+        return pa.table(
+            {
+                "url": pa.array(urls[order], type=pa.string()),
+                "simhash_cluster": pa.array(labels, type=pa.string()),
+            }
+        )
+
+    return partitioned_kernel(
+        nonempty,
+        lambda t: t["simhash64"].to_numpy(zero_copy_only=False).view(np.uint64),
+        label_kernel,
+        num_partitions=DEFAULT_CONFIG.num_partitions,
+        empty_result=_SIMHASH_DEDUP_EMPTY,
+    )
 
 
 def simhash_hamming(sf_dir: str) -> ray.data.Dataset:
@@ -132,65 +153,30 @@ def simhash_hamming(sf_dir: str) -> ray.data.Dataset:
 
 def ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     """Exact shingle-set Jaccard >= tau pairs: LSH candidates verified
-    against the TRUE Jaccard (not the signature estimate).  The id
-    pairs from the banded path are resolved back to urls on the driver
-    (candidate pairs are tiny vs the corpus) before text attach."""
-    import pyarrow as pa
-
+    against the TRUE Jaccard (not the signature estimate).  Fully
+    distributed: candidate id pairs feed the text-attach semi-join
+    directly (urls come back attached from the text rows; nothing is
+    resolved on the driver)."""
     from dedup_ray.stages.jaccard import exact_jaccard_edges
     from dedup_ray.stages.lsh import (
-        bucket_candidate_pairs,
+        _EMPTY_PAIRS,
         dedupe_pairs,
-        find_hot_buckets,
-        hash_url,
+        fused_candidate_pairs,
         lsh_bands,
-        salt_band_rows,
     )
 
     winners = _winners(sf_dir).materialize()
-    sigs = minhash_signatures_stage(winners, DEFAULT_CONFIG).materialize()
-    bands = lsh_bands(sigs, DEFAULT_CONFIG).materialize()
-    hot, _ = find_hot_buckets(bands, DEFAULT_CONFIG)
-    pairs = dedupe_pairs(
-        bucket_candidate_pairs(salt_band_rows(bands, hot, DEFAULT_CONFIG), DEFAULT_CONFIG)
+    sigs = minhash_signatures_stage(winners, DEFAULT_CONFIG)
+    fused = fused_candidate_pairs(lsh_bands(sigs, DEFAULT_CONFIG), DEFAULT_CONFIG)
+    pairs = fused.map_batches(
+        lambda t: t.filter(pc.equal(t["meta"], 0)).select(["u_id", "v_id"])
+        if "meta" in t.column_names
+        else _EMPTY_PAIRS,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
-    import numpy as np
-
-    id_pairs = []
-    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=65536):
-        if "u_id" in b.column_names and len(b):
-            id_pairs.append(
-                (b["u_id"].to_numpy(zero_copy_only=False), b["v_id"].to_numpy(zero_copy_only=False))
-            )
-    if not id_pairs:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "u": pa.array([], pa.string()),
-                    "v": pa.array([], pa.string()),
-                    "kind": pa.array([], pa.string()),
-                    "score": pa.array([], pa.float64()),
-                }
-            )
-        )
-    us = np.concatenate([p[0] for p in id_pairs])
-    vs = np.concatenate([p[1] for p in id_pairs])
-    needed = set(np.concatenate([us, vs]).tolist())
-    id2url: dict[int, str] = {}
-    for b in winners.iter_batches(batch_format="pyarrow", batch_size=65536):
-        if "url" not in b.column_names:
-            continue
-        for u in b["url"].to_pylist():
-            h = np.int64(np.uint64(hash_url(u)))
-            if int(h) in needed:
-                id2url[int(h)] = u
-    url_pairs = pa.table(
-        {
-            "u": pa.array([id2url[int(i)] for i in us], pa.string()),
-            "v": pa.array([id2url[int(i)] for i in vs], pa.string()),
-        }
-    )
-    return exact_jaccard_edges(ray.data.from_arrow(url_pairs), winners, DEFAULT_CONFIG)
+    pairs = dedupe_pairs(pairs)
+    return exact_jaccard_edges(pairs, winners, DEFAULT_CONFIG)
 
 
 def sample_pages(sf_dir: str) -> ray.data.Dataset:

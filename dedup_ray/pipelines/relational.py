@@ -136,21 +136,53 @@ GROUP BY l_returnflag, l_linestatus
 
 
 # ---------------------------------------------------------------- B15/B21 join
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _worker_broadcast(ref):
+    """Per-worker-process singleton for a ray.put broadcast value."""
+    return ray.get(ref)
+
+
+def _enrich_mktsegment(t: pa.Table, ref) -> pa.Table:
+    """Vectorized broadcast inner-join probe: sorted-custkey
+    searchsorted lookup; unmatched orders dropped (inner semantics)."""
+    keys, segs = _worker_broadcast(ref)
+    ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+    if len(keys) == 0:
+        ck = ck[:0]
+    idx = np.minimum(np.searchsorted(keys, ck), max(len(keys) - 1, 0))
+    found = keys[idx] == ck
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(segs[idx[found]], type=pa.string()),
+            "o_totalprice": t["o_totalprice"].filter(pa.array(found)),
+        }
+    )
+
+
 def join_orders_customer(sf_dir: str) -> ray.data.Dataset:
-    """Hash-partitioned inner join orders ⨝ customer, then grouped agg
-    per market segment.  Both sides read column-pruned."""
+    """Inner join orders ⨝ customer, then grouped agg per market
+    segment.  Customer is the provably-small dimension side, so it is
+    BROADCAST (ray.put of a sorted key array + searchsorted probe per
+    batch) instead of hash-shuffling the fact table — the orders side
+    streams map-only."""
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    keys = customer["c_custkey"].to_numpy()
+    order = np.argsort(keys)
+    ref = ray.put(
+        (keys[order], customer["c_mktsegment"].to_numpy(dtype=object)[order])
+    )
+
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
-    customer = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    joined = orders.join(
-        customer,
-        join_type="inner",
-        num_partitions=16,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
+    joined = orders.map_batches(
+        _enrich_mktsegment, fn_kwargs={"ref": ref}, batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     agg = joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_raw")

@@ -56,14 +56,21 @@ def cosine_topk(
     """For each query vec_id < n_queries: top-k neighbors by cosine
     (excluding self), deterministic tie-break on neighbor_id.
 
-    Pattern: broadcast the tiny query matrix via ray.put; each batch
-    computes a (batch x queries) cosine block (numpy matmul); per-batch
-    partial top-k rows shuffle to a final per-query selection.
+    Pattern: the query rows are selected by a PREDICATE PUSHED INTO THE
+    READ (row groups never leave storage); broadcast the tiny query
+    matrix via ray.put; each batch computes a (batch x queries) cosine
+    block (numpy matmul); per-batch partial top-k rows shuffle to a
+    final per-query selection.
     """
-    all_ids, all_m = _collect_matrix(sf_dir)
-    qmask = all_ids < n_queries
-    q_ids = all_ids[qmask]
-    qm = all_m[qmask]
+    import pyarrow.compute as _pc
+
+    q_tbl = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=_pc.field("vec_id") < n_queries,
+    ).take_all()
+    q_ids = np.array([r["vec_id"] for r in q_tbl], dtype=np.int64)
+    qm = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in q_tbl])
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     q_ref = ray.put((q_ids, qm))
 
@@ -248,51 +255,151 @@ def ann_lsh_pairs(
         concurrency=(1, 4),
     )
 
-    # vectors come back inside the bucket kernel via a broadcast of the
-    # normalized matrix (small table).  At a scale where the matrix no
-    # longer broadcasts, replace this with the union+groupby attach used
-    # in lsh.verify_pairs (same shuffle volume as carrying vectors once).
-    all_ids, all_m = _collect_matrix(sf_dir)
-    nrm = np.linalg.norm(all_m, axis=1, keepdims=True)
-    nrm[nrm == 0] = 1.0
-    mat_ref = ray.put((all_ids, all_m / nrm))
+    # vectors come back to the buckets via the union + doc-id partition
+    # kernel semi-join (same shape as lsh.verify_pairs): NO driver
+    # collect, NO broadcast of the corpus matrix.  Honest volume note:
+    # a vector appears in one bucket per table, so the bucket-keyed
+    # exchange moves n_tables x vector volume — inherent to multi-table
+    # LSH, but fully distributed.
+    from dedup_ray.core import numeric_key_u64, partitioned_kernel, segments
+    from dedup_ray.util import binary_to_u64_matrix, u64_matrix_to_binary
 
-    def make_within(ref):
-        state: dict = {}
+    tall_empty = pa.table(
+        {
+            "gkey": pa.array([], type=pa.int64()),
+            "tbl": pa.array([], type=pa.int64()),
+            "bucket": pa.array([], type=pa.int64()),
+            "slot": pa.array([], type=pa.int32()),
+            "vec": pa.array([], type=pa.binary()),
+        }
+    )
 
-        def within(group: pa.Table) -> pa.Table:
-            empty = pa.table(
-                {
-                    "id_a": pa.array([], type=pa.int64()),
-                    "id_b": pa.array([], type=pa.int64()),
-                }
-            )
-            if "vec_id" not in group.column_names or len(group) < 2:
-                return empty
-            if "m" not in state:
-                ids_all, m_all = ray.get(ref)
-                state["pos"] = {int(i): p for p, i in enumerate(ids_all)}
-                state["ids"] = ids_all
-                state["m"] = m_all
-            ids = group["vec_id"].to_numpy(zero_copy_only=False)
-            pos = np.array([state["pos"][int(i)] for i in ids], dtype=np.int64)
-            m = state["m"][pos]
+    def vec_rows(t: pa.Table) -> pa.Table:
+        if "vec_id" not in t.column_names or len(t) == 0:
+            return tall_empty
+        ids, m = _batch_matrix(t)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        m = np.ascontiguousarray(m / nrm)
+        n = len(ids)
+        return pa.table(
+            {
+                "gkey": pa.array(ids, type=pa.int64()),
+                "tbl": pa.array(np.zeros(n, dtype=np.int64)),
+                "bucket": pa.array(np.zeros(n, dtype=np.int64)),
+                "slot": pa.array(np.full(n, -1, dtype=np.int32)),
+                "vec": u64_matrix_to_binary(m.view(np.uint64)),
+            }
+        )
+
+    def member_rows(t: pa.Table) -> pa.Table:
+        if "tbl" not in t.column_names or len(t) == 0:
+            return tall_empty
+        n = len(t)
+        return pa.table(
+            {
+                "gkey": t["vec_id"],
+                "tbl": t["tbl"],
+                "bucket": t["bucket"],
+                "slot": pa.array(np.zeros(n, dtype=np.int32)),
+                "vec": pa.nulls(n, type=pa.binary()),
+            }
+        )
+
+    tall = _read_embeddings(sf_dir).map_batches(
+        vec_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        bucketed.map_batches(member_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    attach_empty = pa.table(
+        {
+            "tbl": pa.array([], type=pa.int64()),
+            "bucket": pa.array([], type=pa.int64()),
+            "vec_id": pa.array([], type=pa.int64()),
+            "vec": pa.array([], type=pa.binary()),
+        }
+    )
+
+    def attach_kernel(g: pa.Table) -> pa.Table:
+        gkeys = g["gkey"].to_numpy(zero_copy_only=False)
+        slots = g["slot"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((slots, gkeys))
+        gs = gkeys[order]
+        starts, lens = segments(gs)
+        slots_sorted = slots[order]
+        has_vec = slots_sorted[starts] == -1
+        seg_id = np.repeat(np.arange(len(starts)), lens)
+        member = (slots_sorted >= 0) & has_vec[seg_id]
+        if not member.any():
+            return attach_empty
+        take_rows = pa.array(order[member])
+        src = pa.array(order[starts[seg_id][member]])
+        return pa.table(
+            {
+                "tbl": g["tbl"].take(take_rows),
+                "bucket": g["bucket"].take(take_rows),
+                "vec_id": g["gkey"].take(take_rows),
+                "vec": g["vec"].take(src),
+            }
+        )
+
+    attached = partitioned_kernel(
+        tall,
+        lambda t: t["gkey"].to_numpy(zero_copy_only=False).view(np.uint64),
+        attach_kernel,
+        num_partitions=32,
+        empty_result=attach_empty,
+    )
+
+    pairs_empty = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def within_kernel(g: pa.Table) -> pa.Table:
+        """All buckets of this partition at once: segment by (tbl,
+        bucket), per-segment exact cosine via one matmul."""
+        k = numeric_key_u64(g, ["tbl", "bucket"])
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, k))
+        starts, lens = segments(k[order])
+        vec_sorted = g["vec"].take(pa.array(order))
+        dim_bytes = len(vec_sorted[0].as_py()) if len(vec_sorted) else 0
+        dim = dim_bytes // 8
+        mats = binary_to_u64_matrix(vec_sorted, dim).view(np.float64)
+        ids_s = ids[order]
+        out_a, out_b = [], []
+        for s, L in zip(starts.tolist(), lens.tolist()):
+            if L < 2:
+                continue
+            m = mats[s : s + L]
+            seg_ids = ids_s[s : s + L]
             cos = m @ m.T
-            iu, jv = np.triu_indices(len(ids), k=1)
+            iu, jv = np.triu_indices(L, k=1)
             keep = cos[iu, jv] >= threshold
-            a, b = ids[iu[keep]], ids[jv[keep]]
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
-            return pa.table(
-                {
-                    "id_a": pa.array(lo, type=pa.int64()),
-                    "id_b": pa.array(hi, type=pa.int64()),
-                }
-            )
+            if not keep.any():
+                continue
+            a, b = seg_ids[iu[keep]], seg_ids[jv[keep]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+        if not out_a:
+            return pairs_empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            }
+        )
 
-        return within
-
-    pairs = bucketed.groupby(["tbl", "bucket"]).map_groups(
-        make_within(mat_ref), batch_format="pyarrow"
+    pairs = partitioned_kernel(
+        attached,
+        lambda t: numeric_key_u64(t, ["tbl", "bucket"]),
+        within_kernel,
+        num_partitions=32,
+        empty_result=pairs_empty,
     )
 
     # dedupe across tables: hash aggregate (vectorized) — NOT map_groups,

@@ -8,48 +8,57 @@ Why winnowing and not a literal suffix array: the winnowing guarantee
 is exactly the detection contract this stage needs — any substring of
 length >= gram + window - 1 (= cfg.substring_min_len) shared by two
 docs yields at least one shared selected fingerprint — and it maps to
-plain Ray Data primitives (map_batches -> groupby -> verify) with slim
-shuffle rows, no partition-local character budget, no cross-partition
-miss modes.  A distributed SA gets the same answer only within a
-routed partition; winnowing is global by construction.
+plain Ray Data primitives (map_batches -> hash exchange -> verify) with
+slim shuffle rows, no partition-local character budget, no
+cross-partition miss modes.  A distributed SA gets the same answer only
+within a routed partition; winnowing is global by construction.
+(Ratified in SURVEY.md §2B B11; the verification step IS exact — the
+anchor is extended character-by-character to the maximal common run, so
+every emitted edge is a true >= substring_min_len shared substring.)
 
-Stages:
-  winners ──fingerprint──▶ anchors (anchor_hash, url, pos)   [actor pool]
-    groupby(anchor_hash) ──▶ candidate pairs (u, v, pu, pv)
+Stages (ALL grouped steps are vectorized partition kernels over the
+custom hash exchange — core.partitioned_kernel; nothing is collected on
+the driver):
+
+  winners ──fingerprint──▶ anchors (anchor_hash, doc_id, pos)  [tasks]
+    anchor_hash kernel ──▶ candidate id pairs (u_id, v_id, pu, pv)
         (star topology per bucket: shared-block buckets of n docs emit
         n-1 edges, never O(n^2); connectivity via union-find)
-    groupby(u, v) ──▶ up to MAX_TRIES anchor pairs per doc pair
-    union + groupby(url) ──▶ attach texts (broadcast-filtered to pair
-        members only, so corpus text is NOT reshuffled)
-    groupby(u, v) ──▶ extend the anchor match left/right, keep pairs
-        with a verified common substring >= substring_min_len
+    (u_id, v_id) kernel ──▶ at most MAX_ANCHOR_TRIES anchor pairs/pair
+    union(text rows, pair member rows) + doc_id kernel ──▶ texts+urls
+        attached to member rows (distributed semi-join: text rows whose
+        doc appears in no pair are dropped IN the kernel — the corpus
+        text moves through one exchange, never to the driver)
+    (u_id, v_id) kernel ──▶ extend the anchor match left/right, keep
+        pairs with a verified common substring >= substring_min_len
 """
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
-import ray
 import ray.data
 
 from dedup_ray.config import DedupConfig
-from dedup_ray.core import default_pool_size
-from dedup_ray.util import char_rolling_hashes, winnow_select
+from dedup_ray.core import numeric_key_u64, partitioned_kernel, segments
+from dedup_ray.util import char_rolling_hashes, ensure_doc_ids, winnow_select
 
 MAX_ANCHOR_TRIES = 3
 
 _EMPTY_ANCHORS = pa.table(
     {
         "anchor_hash": pa.array([], type=pa.int64()),
-        "url": pa.array([], type=pa.string()),
+        "doc_id": pa.array([], type=pa.int64()),
         "pos": pa.array([], type=pa.int64()),
     }
 )
 
 _EMPTY_PAIRS = pa.table(
     {
-        "u": pa.array([], type=pa.string()),
-        "v": pa.array([], type=pa.string()),
+        "u_id": pa.array([], type=pa.int64()),
+        "v_id": pa.array([], type=pa.int64()),
         "pu": pa.array([], type=pa.int64()),
         "pv": pa.array([], type=pa.int64()),
     }
@@ -64,25 +73,29 @@ _EMPTY_EDGES = pa.table(
     }
 )
 
+_PAIR_KEY_COLS = ["u_id", "v_id"]
+
 
 class Fingerprinter:
-    """Actor-pool stage: winnowing fingerprints per doc (vectorized
-    rolling hash + sliding-window argmin)."""
+    """Winnowing fingerprints per doc (vectorized rolling hash +
+    sliding-window argmin); emits slim (anchor_hash, doc_id, pos) rows."""
 
     def __init__(self, cfg: DedupConfig) -> None:
         self.g = cfg.winnow_gram
         self.w = cfg.winnow_window
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hashes, urls, poss = [], [], []
-        for url, text in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
+        batch = ensure_doc_ids(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hashes, out_ids, poss = [], [], []
+        for did, text in zip(ids.tolist(), batch["text"].to_pylist()):
             t = text or ""
             hs = char_rolling_hashes(t, self.g)
             if len(hs) == 0:
                 continue
             sel = winnow_select(hs, self.w)
             hashes.append(hs[sel])
-            urls.extend([url] * len(sel))
+            out_ids.append(np.full(len(sel), did, dtype=np.int64))
             poss.append(sel)
         if not hashes:
             return _EMPTY_ANCHORS
@@ -93,13 +106,10 @@ class Fingerprinter:
                 "anchor_hash": pa.array(
                     np.concatenate(hashes).view(np.int64), type=pa.int64()
                 ),
-                "url": pa.array(urls, type=pa.string()),
+                "doc_id": pa.array(np.concatenate(out_ids), type=pa.int64()),
                 "pos": pa.array(np.concatenate(poss), type=pa.int64()),
             }
         )
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=8)
@@ -111,63 +121,38 @@ def _fingerprint_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     return _worker_fingerprinter(cfg)(batch)
 
 
-@functools.lru_cache(maxsize=8)
-def _worker_pair_urls(urls_ref) -> set:
-    return ray.get(urls_ref)
-
-
-def _tall_text_batch(t: pa.Table, urls_ref) -> pa.Table:
-    urls = _worker_pair_urls(urls_ref)
-    keep = pa.array([u in urls for u in t["url"].to_pylist()])
-    t = t.filter(keep)
-    n = len(t)
-    return pa.table(
-        {
-            "gkey": t["url"],
-            "u": pa.array([""] * n, type=pa.string()),
-            "v": pa.array([""] * n, type=pa.string()),
-            "slot": pa.array(np.full(n, -1, dtype=np.int32)),
-            "pu": pa.array(np.zeros(n, dtype=np.int64)),
-            "pv": pa.array(np.zeros(n, dtype=np.int64)),
-            "text": t["text"],
-        }
-    )
-
-
 def anchor_candidate_pairs(
     anchors: ray.data.Dataset, *, num_partitions: int | None = None
 ) -> ray.data.Dataset:
-    """anchor_hash partition kernel -> star-topology candidate pairs
-    carrying both anchor positions (vectorized; millions of singleton
-    anchor buckets cost one sort, not one UDF call each)."""
-    from dedup_ray.core import partitioned_kernel, segments
+    """anchor_hash partition kernel -> star-topology candidate id pairs
+    carrying both anchor positions (fully numeric lexsorts; millions of
+    singleton anchor buckets cost one sort, not one UDF call each)."""
 
     def star_kernel(g: pa.Table) -> pa.Table:
         k = g["anchor_hash"].to_numpy(zero_copy_only=False)
-        urls = np.array(g["url"].to_pylist(), dtype=object)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
         pos = g["pos"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((pos, urls, k))
-        ks, us, ps = k[order], urls[order], pos[order]
-        # first occurrence of each (k, url): one anchor per doc per hash
+        order = np.lexsort((pos, ids, k))
+        ks, is_, ps = k[order], ids[order], pos[order]
+        # first occurrence of each (k, doc): one anchor per doc per hash
         first = np.ones(len(ks), dtype=bool)
         if len(ks) > 1:
-            first[1:] = (ks[1:] != ks[:-1]) | (us[1:] != us[:-1])
-        ks_f, us_f, ps_f = ks[first], us[first], ps[first]
+            first[1:] = (ks[1:] != ks[:-1]) | (is_[1:] != is_[:-1])
+        ks_f, is_f, ps_f = ks[first], is_[first], ps[first]
         starts, lens = segments(ks_f)
         multi = lens >= 2
         if not multi.any():
             return _EMPTY_PAIRS
         out_u, out_v, out_pu, out_pv = [], [], [], []
         for s, L in zip(starts[multi].tolist(), lens[multi].tolist()):
-            head_u, head_p = us_f[s], ps_f[s]
-            out_u.append(np.repeat(np.array([head_u], dtype=object), L - 1))
-            out_v.append(us_f[s + 1 : s + L])
-            out_pu.append(np.full(L - 1, head_p, dtype=np.int64))
+            out_u.append(np.full(L - 1, is_f[s], dtype=np.int64))
+            out_v.append(is_f[s + 1 : s + L])
+            out_pu.append(np.full(L - 1, ps_f[s], dtype=np.int64))
             out_pv.append(ps_f[s + 1 : s + L])
         return pa.table(
             {
-                "u": pa.array(np.concatenate(out_u), type=pa.string()),
-                "v": pa.array(np.concatenate(out_v), type=pa.string()),
+                "u_id": pa.array(np.concatenate(out_u), type=pa.int64()),
+                "v_id": pa.array(np.concatenate(out_v), type=pa.int64()),
                 "pu": pa.array(np.concatenate(out_pu), type=pa.int64()),
                 "pv": pa.array(np.concatenate(out_pv), type=pa.int64()),
             }
@@ -185,37 +170,134 @@ def anchor_candidate_pairs(
 def dedupe_anchor_pairs(
     pairs: ray.data.Dataset, *, num_partitions: int | None = None
 ) -> ray.data.Dataset:
-    """Keep at most MAX_ANCHOR_TRIES anchor pairs per (u, v) so the
-    verify stage never attaches a text more than a few times
-    (vectorized rank-within-segment)."""
-    from dedup_ray.core import hash_strings_u64, partitioned_kernel
+    """Keep at most MAX_ANCHOR_TRIES anchor pairs per (u_id, v_id) so
+    the verify stage never attaches a text more than a few times
+    (vectorized rank-within-segment, numeric keys)."""
 
     def kernel(g: pa.Table) -> pa.Table:
-        us = np.array(g["u"].to_pylist(), dtype=object)
-        vs = np.array(g["v"].to_pylist(), dtype=object)
+        us = g["u_id"].to_numpy(zero_copy_only=False)
+        vs = g["v_id"].to_numpy(zero_copy_only=False)
         pu = g["pu"].to_numpy(zero_copy_only=False)
         pv = g["pv"].to_numpy(zero_copy_only=False)
-        combined = np.array(
-            [f"{a}\x00{b}" for a, b in zip(us.tolist(), vs.tolist())], dtype=object
-        )
-        order = np.lexsort((pv, pu, combined))
-        cs = combined[order]
-        from dedup_ray.stages.lsh import segments_obj
-
-        starts, lens = segments_obj(cs)
-        seg_id = np.repeat(np.arange(len(starts)), lens)
-        rank = np.arange(len(cs)) - starts[seg_id]
+        order = np.lexsort((pv, pu, vs, us))
+        us_s, vs_s = us[order], vs[order]
+        n = len(us_s)
+        firsts = np.ones(n, dtype=bool)
+        if n > 1:
+            firsts[1:] = (us_s[1:] != us_s[:-1]) | (vs_s[1:] != vs_s[:-1])
+        starts = np.flatnonzero(firsts).astype(np.int64)
+        seg_id = np.cumsum(firsts) - 1
+        rank = np.arange(n) - starts[seg_id]
         keep = order[rank < MAX_ANCHOR_TRIES]
         return g.take(pa.array(np.sort(keep)))
 
     return partitioned_kernel(
         pairs,
-        lambda t: hash_strings_u64(
-            [f"{a}\x00{b}" for a, b in zip(t["u"].to_pylist(), t["v"].to_pylist())]
-        ),
+        lambda t: numeric_key_u64(t, _PAIR_KEY_COLS),
         kernel,
         num_partitions=num_partitions or 64,
         empty_result=_EMPTY_PAIRS,
+    )
+
+
+_TALL_EMPTY = pa.table(
+    {
+        "gkey": pa.array([], type=pa.int64()),
+        "u_id": pa.array([], type=pa.int64()),
+        "v_id": pa.array([], type=pa.int64()),
+        "slot": pa.array([], type=pa.int32()),
+        "pu": pa.array([], type=pa.int64()),
+        "pv": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string()),
+        "url": pa.array([], type=pa.string()),
+    }
+)
+
+_ATTACH_EMPTY = pa.table(
+    {
+        "u_id": pa.array([], type=pa.int64()),
+        "v_id": pa.array([], type=pa.int64()),
+        "slot": pa.array([], type=pa.int32()),
+        "pu": pa.array([], type=pa.int64()),
+        "pv": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string()),
+        "url": pa.array([], type=pa.string()),
+    }
+)
+
+
+def _text_rows(t: pa.Table) -> pa.Table:
+    if "url" not in t.column_names or len(t) == 0:
+        return _TALL_EMPTY
+    t = ensure_doc_ids(t)
+    n = len(t)
+    z = pa.array(np.zeros(n, dtype=np.int64))
+    return pa.table(
+        {
+            "gkey": t["doc_id"],
+            "u_id": z,
+            "v_id": z,
+            "slot": pa.array(np.full(n, -1, dtype=np.int32)),
+            "pu": z,
+            "pv": z,
+            "text": t["text"],
+            "url": t["url"],
+        }
+    )
+
+
+def _pair_member_rows(t: pa.Table) -> pa.Table:
+    if "u_id" not in t.column_names or len(t) == 0:
+        return _TALL_EMPTY
+    u = t["u_id"].combine_chunks()
+    v = t["v_id"].combine_chunks()
+    pu = t["pu"].combine_chunks()
+    pv = t["pv"].combine_chunks()
+    n = len(t)
+    return pa.table(
+        {
+            "gkey": pa.concat_arrays([u, v]),
+            "u_id": pa.concat_arrays([u, u]),
+            "v_id": pa.concat_arrays([v, v]),
+            "slot": pa.array(
+                np.concatenate([np.zeros(n, dtype=np.int32), np.ones(n, dtype=np.int32)])
+            ),
+            "pu": pa.concat_arrays([pu, pu]),
+            "pv": pa.concat_arrays([pv, pv]),
+            "text": pa.nulls(2 * n, type=pa.string()),
+            "url": pa.nulls(2 * n, type=pa.string()),
+        }
+    )
+
+
+def _attach_kernel(g: pa.Table) -> pa.Table:
+    """Per doc-id segment: copy the slot=-1 row's text+url onto member
+    rows — vectorized segment-start gathers (same shape as
+    lsh.verify_pairs' attach).  Text rows with no member rows (docs in
+    no candidate pair) are dropped here: the distributed semi-join."""
+    gkeys = g["gkey"].to_numpy(zero_copy_only=False)
+    slots = g["slot"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((slots, gkeys))  # text row (-1) first per segment
+    gs = gkeys[order]
+    starts, lens = segments(gs)
+    slots_sorted = slots[order]
+    has_text = slots_sorted[starts] == -1
+    seg_id = np.repeat(np.arange(len(starts)), lens)
+    member = (slots_sorted >= 0) & has_text[seg_id]
+    if not member.any():
+        return _ATTACH_EMPTY
+    take_rows = pa.array(order[member])
+    src = pa.array(order[starts[seg_id][member]])
+    return pa.table(
+        {
+            "u_id": g["u_id"].take(take_rows),
+            "v_id": g["v_id"].take(take_rows),
+            "slot": g["slot"].take(take_rows),
+            "pu": g["pu"].take(take_rows),
+            "pv": g["pv"].take(take_rows),
+            "text": g["text"].take(src),
+            "url": g["url"].take(src),
+        }
     )
 
 
@@ -223,159 +305,128 @@ def verify_substring_pairs(
     pairs: ray.data.Dataset,
     winners: ray.data.Dataset,
     cfg: DedupConfig,
+    *,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
-    """Attach both texts per candidate pair (union + groupby — see
-    lsh.verify_pairs for why not Dataset.join) and extend the anchor
-    match to its maximal run; keep runs >= substring_min_len.
-
-    The text side is BROADCAST-FILTERED to urls that appear in a pair
-    (collected on the driver — candidate doc pairs are orders of
-    magnitude fewer than docs), so the corpus never reshuffles here.
-    """
-    pair_urls: set[str] = set()
-    pair_rows_tbls: list[pa.Table] = []
-    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=65536):
-        if "u" not in b.column_names or len(b) == 0:
-            continue
-        pair_urls.update(b["u"].to_pylist())
-        pair_urls.update(b["v"].to_pylist())
-        pair_rows_tbls.append(b.select(["u", "v", "pu", "pv"]))
-    if not pair_rows_tbls:
-        return ray.data.from_arrow(_EMPTY_EDGES)
-    pair_tbl = pa.concat_tables(pair_rows_tbls)
-    urls_ref = ray.put(pair_urls)
-
-    text_rows = winners.select_columns(["url", "text"]).map_batches(
-        _tall_text_batch,
-        fn_kwargs={"urls_ref": urls_ref},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    """Attach both texts per candidate pair via the union + doc_id
+    partition-kernel semi-join (texts never reach the driver; docs in
+    no pair are dropped in the attach kernel), then extend each anchor
+    match to its maximal run; keep pairs with a verified common
+    substring >= substring_min_len."""
+    P = num_partitions or 64
+    text_cols = ["url", "text"] + (
+        ["doc_id"] if "doc_id" in winners.schema().names else []
+    )
+    tall = winners.select_columns(text_cols).map_batches(
+        _text_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        pairs.map_batches(_pair_member_rows, batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    n = len(pair_tbl)
-    u_arr = pair_tbl["u"].combine_chunks()
-    v_arr = pair_tbl["v"].combine_chunks()
-    pu = pair_tbl["pu"].combine_chunks()
-    pv = pair_tbl["pv"].combine_chunks()
-    pair_rows = pa.table(
-        {
-            "gkey": pa.concat_arrays([u_arr, v_arr]),
-            "u": pa.concat_arrays([u_arr, u_arr]),
-            "v": pa.concat_arrays([v_arr, v_arr]),
-            "slot": pa.array(
-                np.concatenate([np.zeros(n, dtype=np.int32), np.ones(n, dtype=np.int32)])
-            ),
-            "pu": pa.concat_arrays([pu, pu]),
-            "pv": pa.concat_arrays([pv, pv]),
-            "text": pa.nulls(2 * n, type=pa.string()),
-        }
+    attached = partitioned_kernel(
+        tall,
+        lambda t: t["gkey"].to_numpy(zero_copy_only=False).view(np.uint64),
+        _attach_kernel,
+        num_partitions=P,
+        empty_result=_ATTACH_EMPTY,
     )
-    tall = text_rows.union(ray.data.from_arrow(pair_rows))
-
-    def attach(group: pa.Table) -> pa.Table:
-        if "slot" not in group.column_names:
-            return pa.table(
-                {
-                    "u": pa.array([], type=pa.string()),
-                    "v": pa.array([], type=pa.string()),
-                    "slot": pa.array([], type=pa.int32()),
-                    "pu": pa.array([], type=pa.int64()),
-                    "pv": pa.array([], type=pa.int64()),
-                    "text": pa.array([], type=pa.string()),
-                }
-            )
-        slots = group["slot"].to_numpy(zero_copy_only=False)
-        sig_idx = np.flatnonzero(slots == -1)
-        member_mask = pa.array(slots >= 0)
-        m = int((slots >= 0).sum())
-        if len(sig_idx) == 0 or m == 0:
-            return pa.table(
-                {
-                    "u": pa.array([], type=pa.string()),
-                    "v": pa.array([], type=pa.string()),
-                    "slot": pa.array([], type=pa.int32()),
-                    "pu": pa.array([], type=pa.int64()),
-                    "pv": pa.array([], type=pa.int64()),
-                    "text": pa.array([], type=pa.string()),
-                }
-            )
-        text = group["text"][int(sig_idx[0])].as_py()
-        return pa.table(
-            {
-                "u": group["u"].filter(member_mask),
-                "v": group["v"].filter(member_mask),
-                "slot": group["slot"].filter(member_mask),
-                "pu": group["pu"].filter(member_mask),
-                "pv": group["pv"].filter(member_mask),
-                "text": pa.array([text] * m, type=pa.string()),
-            }
-        )
-
-    attached = tall.groupby("gkey").map_groups(attach, batch_format="pyarrow")
 
     min_len = cfg.substring_min_len
     gram = cfg.winnow_gram
 
-    def extend(group: pa.Table) -> pa.Table:
-        if "slot" not in group.column_names or len(group) < 2:
-            return _EMPTY_EDGES
-        slots = group["slot"].to_numpy(zero_copy_only=False)
-        texts = group["text"].to_pylist()
-        pus = group["pu"].to_numpy(zero_copy_only=False)
-        pvs = group["pv"].to_numpy(zero_copy_only=False)
-        t_u = t_v = None
-        for i, s in enumerate(slots):
-            if s == 0 and t_u is None:
-                t_u = texts[i]
-            elif s == 1 and t_v is None:
-                t_v = texts[i]
-        if t_u is None or t_v is None:
-            return _EMPTY_EDGES
-        # distinct anchor attempts for this pair
-        tried = set()
-        best = 0
-        for a, b in zip(pus.tolist(), pvs.tolist()):
-            if (a, b) in tried:
+    def extend_kernel(g: pa.Table) -> pa.Table:
+        """Per (u_id, v_id) segment — vectorized segmentation; the
+        character extension itself is the per-pair verification work
+        (bounded by MAX_ANCHOR_TRIES attempts per pair)."""
+        us = g["u_id"].to_numpy(zero_copy_only=False)
+        vs = g["v_id"].to_numpy(zero_copy_only=False)
+        slots = g["slot"].to_numpy(zero_copy_only=False)
+        pus = g["pu"].to_numpy(zero_copy_only=False)
+        pvs = g["pv"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((slots, pvs, pus, vs, us))
+        us_s, vs_s = us[order], vs[order]
+        n = len(us_s)
+        firsts = np.ones(n, dtype=bool)
+        if n > 1:
+            firsts[1:] = (us_s[1:] != us_s[:-1]) | (vs_s[1:] != vs_s[:-1])
+        starts = np.flatnonzero(firsts).astype(np.int64)
+        lens = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+        texts = g["text"].to_pylist()
+        urls = g["url"].to_pylist()
+        out_u, out_v, out_s = [], [], []
+        for s, L in zip(starts.tolist(), lens.tolist()):
+            rows = order[s : s + L]
+            t_u = t_v = url_u = url_v = None
+            tried = set()
+            attempts = []
+            for r in rows.tolist():
+                sl = slots[r]
+                if sl == 0:
+                    if t_u is None:
+                        t_u, url_u = texts[r], urls[r]
+                elif sl == 1 and t_v is None:
+                    t_v, url_v = texts[r], urls[r]
+                key = (int(pus[r]), int(pvs[r]))
+                if key not in tried:
+                    tried.add(key)
+                    attempts.append(key)
+            if t_u is None or t_v is None:
                 continue
-            tried.add((a, b))
-            if t_u[a : a + gram] != t_v[b : b + gram]:
-                continue  # rolling-hash collision
-            left = 0
-            while a - left - 1 >= 0 and b - left - 1 >= 0 and t_u[a - left - 1] == t_v[b - left - 1]:
-                left += 1
-            right = 0
-            while (
-                a + gram + right < len(t_u)
-                and b + gram + right < len(t_v)
-                and t_u[a + gram + right] == t_v[b + gram + right]
-            ):
-                right += 1
-            best = max(best, left + gram + right)
+            best = 0
+            for a, b in attempts:
+                if t_u[a : a + gram] != t_v[b : b + gram]:
+                    continue  # rolling-hash collision
+                left = 0
+                while (
+                    a - left - 1 >= 0
+                    and b - left - 1 >= 0
+                    and t_u[a - left - 1] == t_v[b - left - 1]
+                ):
+                    left += 1
+                right = 0
+                while (
+                    a + gram + right < len(t_u)
+                    and b + gram + right < len(t_v)
+                    and t_u[a + gram + right] == t_v[b + gram + right]
+                ):
+                    right += 1
+                best = max(best, left + gram + right)
+                if best >= min_len:
+                    break
             if best >= min_len:
-                break
-        if best < min_len:
+                out_u.append(url_u)
+                out_v.append(url_v)
+                out_s.append(float(best))
+        if not out_u:
             return _EMPTY_EDGES
-        uu = group["u"][0].as_py()
-        vv = group["v"][0].as_py()
         return pa.table(
             {
-                "u": pa.array([uu], type=pa.string()),
-                "v": pa.array([vv], type=pa.string()),
-                "kind": pa.array(["substring"], type=pa.string()),
-                "score": pa.array([float(best)], type=pa.float64()),
+                "u": pa.array(out_u, type=pa.string()),
+                "v": pa.array(out_v, type=pa.string()),
+                "kind": pa.array(["substring"] * len(out_u), type=pa.string()),
+                "score": pa.array(out_s, type=pa.float64()),
             }
         )
 
-    return attached.groupby(["u", "v"]).map_groups(extend, batch_format="pyarrow")
+    return partitioned_kernel(
+        attached,
+        lambda t: numeric_key_u64(t, _PAIR_KEY_COLS),
+        extend_kernel,
+        num_partitions=P,
+        empty_result=_EMPTY_EDGES,
+    )
 
 
 def substring_edges(
     winners: ray.data.Dataset, cfg: DedupConfig
 ) -> ray.data.Dataset:
-    """winners (url, text) -> verified substring edges.  Fingerprinting
-    runs as tasks with a per-worker singleton (see
+    """winners (url, text[, doc_id]) -> verified substring edges.
+    Fingerprinting runs as tasks with a per-worker singleton (see
     minhash._worker_hasher for the pattern)."""
-    anchors = winners.select_columns(["url", "text"]).map_batches(
+    fp_cols = ["url", "text"] + (
+        ["doc_id"] if "doc_id" in winners.schema().names else []
+    )
+    anchors = winners.select_columns(fp_cols).map_batches(
         _fingerprint_batch,
         fn_kwargs={"cfg": cfg},
         batch_format="pyarrow",

@@ -35,15 +35,22 @@ MANIFEST = "manifest.json"
 
 
 def fingerprint_paths(paths: list[str] | str) -> str:
-    """Source-data identity: path + size + mtime per file."""
+    """Source-data identity: path + size + mtime per file, walked
+    RECURSIVELY — an in-place edit of a file in a nested subdirectory
+    changes neither the parent's mtime nor its listing, so a top-level
+    stat would silently resume checkpoints of changed input."""
     if isinstance(paths, str):
         paths = [paths]
     h = hashlib.sha256()
     for p in sorted(paths):
         if os.path.isdir(p):
-            files = sorted(
-                os.path.join(p, f) for f in os.listdir(p) if not f.startswith(".")
-            )
+            files = []
+            for root, dirs, names in os.walk(p):
+                dirs[:] = sorted(d for d in dirs if not d.startswith("."))
+                files.extend(
+                    os.path.join(root, f) for f in names if not f.startswith(".")
+                )
+            files.sort()
         else:
             files = [p]
         for f in files:

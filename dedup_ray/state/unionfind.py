@@ -19,6 +19,12 @@ corpus itself never flows through this stage.  (If the dup-graph ever
 approached corpus size, swap in alternating hash-min label propagation
 rounds — pure Ray Data groupbys — at the cost of more shuffles.)
 
+Execution detail (r02): node strings are FACTORIZED once per task
+(np.unique) and the union-find runs over dense int codes with
+list-backed parent/size arrays — the per-edge work is integer index
+chasing, not string hashing/dict probes; root resolution afterwards is
+fully vectorized pointer doubling.
+
 Determinism: merge order affects only intermediate parent pointers,
 never the component partition; final labels are canonical min-url, so
 the output is independent of scheduling order.
@@ -31,9 +37,20 @@ import pyarrow as pa
 import ray
 import ray.data
 
+_EMPTY_FOREST = pa.table(
+    {
+        "node": pa.array([], type=pa.string()),
+        "root": pa.array([], type=pa.string()),
+    }
+)
+
 
 class DSU:
-    """Classic union-find with path halving + union by size."""
+    """Classic dict-based union-find (path halving + union by size).
+
+    The REFERENCE implementation: kept for the property-test suite's
+    law checks; the distributed path below runs on factorized int
+    codes (`_union_codes`) instead."""
 
     __slots__ = ("parent", "size")
 
@@ -74,8 +91,6 @@ class DSU:
     @staticmethod
     def from_table(t: pa.Table) -> "DSU":
         d = DSU()
-        # Ray Data can emit schema-less empty blocks (empty groupby
-        # partitions bypass the UDF); treat them as empty forests.
         if "node" not in t.column_names:
             return d
         for n, r in zip(t["node"].to_pylist(), t["root"].to_pylist()):
@@ -83,21 +98,73 @@ class DSU:
         return d
 
 
+def _union_codes(n: int, us: np.ndarray, vs: np.ndarray) -> np.ndarray:
+    """Union-find over dense int codes [0, n); returns the fully
+    path-compressed parent array (parent[i] is i's root).
+
+    The union loop is Python-over-ints (DSU is inherently sequential)
+    with path halving + union by size on plain lists (faster indexing
+    than ndarray for scalar access); the final root resolution is
+    vectorized pointer doubling.
+    """
+    parent = list(range(n))
+    size = [1] * n
+    for a, b in zip(us.tolist(), vs.tolist()):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        while parent[b] != b:
+            parent[b] = parent[parent[b]]
+            b = parent[b]
+        if a == b:
+            continue
+        if size[a] < size[b]:
+            a, b = b, a
+        parent[b] = a
+        size[a] += size[b]
+    p = np.array(parent, dtype=np.int64)
+    while True:  # pointer doubling to full compression (log depth)
+        p2 = p[p]
+        if np.array_equal(p2, p):
+            return p
+        p = p2
+
+
+def _forest_from_pairs(us_obj: np.ndarray, vs_obj: np.ndarray) -> pa.Table:
+    """(u, v) object arrays -> (node, root) table over their union."""
+    allv = np.concatenate([us_obj, vs_obj])
+    if len(allv) == 0:
+        return _EMPTY_FOREST
+    uniq, codes = np.unique(allv, return_inverse=True)
+    m = len(us_obj)
+    roots = _union_codes(len(uniq), codes[:m], codes[m:])
+    return pa.table(
+        {
+            "node": pa.array(uniq, type=pa.string()),
+            "root": pa.array(uniq[roots], type=pa.string()),
+        }
+    )
+
+
 def _block_forest(batch: pa.Table) -> pa.Table:
-    d = DSU()
-    if "u" in batch.column_names:  # schema-less empty blocks pass through
-        for u, v in zip(batch["u"].to_pylist(), batch["v"].to_pylist()):
-            d.union(u, v)
-    return d.to_table()
+    if "u" not in batch.column_names:  # schema-less empty blocks pass through
+        return _EMPTY_FOREST
+    return _forest_from_pairs(
+        np.array(batch["u"].to_pylist(), dtype=object),
+        np.array(batch["v"].to_pylist(), dtype=object),
+    )
 
 
 @ray.remote
 def _merge_forests(a: pa.Table, b: pa.Table) -> pa.Table:
-    d = DSU.from_table(a)
-    if "node" in b.column_names:
-        for n, r in zip(b["node"].to_pylist(), b["root"].to_pylist()):
-            d.union(n, r)
-    return d.to_table()
+    parts_n, parts_r = [], []
+    for t in (a, b):
+        if "node" in t.column_names and len(t):
+            parts_n.append(np.array(t["node"].to_pylist(), dtype=object))
+            parts_r.append(np.array(t["root"].to_pylist(), dtype=object))
+    if not parts_n:
+        return _EMPTY_FOREST
+    return _forest_from_pairs(np.concatenate(parts_n), np.concatenate(parts_r))
 
 
 def connected_components(edges: ray.data.Dataset) -> dict[str, str]:
@@ -125,17 +192,27 @@ def connected_components(edges: ray.data.Dataset) -> dict[str, str]:
             nxt.append(refs[-1])
         refs = nxt
     final = ray.get(refs[0])
-    if len(final) == 0:
+    if len(final) == 0 or "node" not in final.column_names:
         return {}
-    d = DSU.from_table(final)
-    # canonical min-url label per component
-    root_min: dict[str, str] = {}
-    for n in list(d.parent):
-        r = d.find(n)
-        m = root_min.get(r)
-        if m is None or n < m:
-            root_min[r] = n
-    return {n: root_min[d.find(n)] for n in d.parent}
+    nodes = np.array(final["node"].to_pylist(), dtype=object)
+    roots_s = np.array(final["root"].to_pylist(), dtype=object)
+    # one more factorize+compress: the merged forest's (node, root)
+    # pairs are edges of a (possibly still multi-level) forest
+    uniq, codes = np.unique(np.concatenate([nodes, roots_s]), return_inverse=True)
+    m = len(nodes)
+    roots = _union_codes(len(uniq), codes[:m], codes[m:])
+    # canonical min-url label per component: uniq is SORTED, so the
+    # first member index per root group is the component minimum
+    order = np.argsort(roots, kind="stable")
+    rs = roots[order]
+    firsts = np.ones(len(rs), dtype=bool)
+    firsts[1:] = rs[1:] != rs[:-1]
+    seg_id = np.cumsum(firsts) - 1
+    min_idx_per_seg = order[firsts]  # stable sort: first = smallest index
+    labels_sorted = uniq[min_idx_per_seg][seg_id]
+    labels = np.empty(len(uniq), dtype=object)
+    labels[order] = labels_sorted
+    return dict(zip(uniq.tolist(), labels.tolist()))
 
 
 def components_table(mapping: dict[str, str]) -> pa.Table:
