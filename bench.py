@@ -77,6 +77,11 @@ def run_default() -> None:
         "embedding_ann_lsh",
     ]
     queries = entrymod.queries()
+    # untimed warm-up: spawn the worker pool + import the library in
+    # every worker once, so the first timed query measures the pipeline
+    # rather than ~9 s of process cold-start (same treatment for every
+    # query; recorded timings are all warm-pool)
+    _consume(queries["exact_dedup"](SF_DIR))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     total = 0.0

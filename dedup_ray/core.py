@@ -106,6 +106,7 @@ def partitioned_kernel(
     *,
     num_partitions: int = 64,
     empty_result: pa.Table,
+    target_rows_per_partition: int = 8192,
 ) -> ray.data.Dataset:
     """Run ``kernel`` once per hash partition with all rows of any
     logical key co-located.
@@ -127,17 +128,33 @@ def partitioned_kernel(
     the key columns.  ``kernel`` receives a partition table (multiple
     keys, unsorted) and must tolerate any subset of keys.  Schema-less
     empty blocks are absorbed here so kernels never see them.
+
+    ``num_partitions`` is an UPPER BOUND: the effective P adapts down to
+    ``ceil(rows / target_rows_per_partition)`` so small inputs (tests,
+    sf0.01 tables, the tail of a skewed stage) don't pay 64 reduce
+    tasks of scheduling overhead per exchange.  Kernel outputs are
+    P-invariant (each logical key is processed whole wherever it
+    lands), so adaptivity never changes results — golden tests pin
+    this.  The row count is free: the dataset is materialized for
+    ``to_arrow_refs`` anyway, making ``count()`` metadata-only.
     """
-    block_refs = list(ds.to_arrow_refs())
+    mat = ds.materialize()
+    block_refs = list(mat.to_arrow_refs())
     if not block_refs:
         return ray.data.from_arrow(empty_result)
+    total_rows = mat.count()
+    num_partitions = max(
+        1, min(num_partitions, -(-total_rows // target_rows_per_partition))
+    )
 
-    split = ray.remote(num_returns=num_partitions)(_split_block)
     reduce = ray.remote(_reduce_partition)
-
-    split_refs = [split.remote(r, key_hash_fn, num_partitions) for r in block_refs]
     if num_partitions == 1:
-        split_refs = [[r] for r in split_refs]
+        # no exchange needed: blocks ARE the single partition
+        return ray.data.from_arrow_refs(
+            [reduce.remote(kernel, empty_result, *block_refs)]
+        )
+    split = ray.remote(num_returns=num_partitions)(_split_block)
+    split_refs = [split.remote(r, key_hash_fn, num_partitions) for r in block_refs]
     out_refs = []
     for p in range(num_partitions):
         parts = [s[p] for s in split_refs]
