@@ -167,20 +167,39 @@ def minhash_signatures(
     """
     n_docs = len(offsets)
     num_perms = len(a)
-    out = np.empty((n_docs, num_perms), dtype=np.uint64)
     if len(all_shingles) == 0:
-        out[:] = np.iinfo(np.uint64).max
-        return out
-    # reduceat needs strictly valid indices; empty slices (offsets[i] ==
-    # offsets[i+1]) yield the element at offsets[i] — mask them after.
+        return np.full((n_docs, num_perms), np.iinfo(np.uint64).max, dtype=np.uint64)
+    # CACHE-BLOCKED: the naive loop streams the full shingle array from
+    # DRAM once per permutation (~128 x 3 passes => tens of GB per task
+    # batch), which saturates memory bandwidth and destroys multi-core
+    # scaling.  Instead iterate L2-sized shingle chunks and apply ALL
+    # permutations while the chunk is cache-resident; per-doc mins for
+    # slices spanning chunks combine via np.minimum accumulation.
+    # DRAM traffic drops to ~one read of the shingle array total.
     lengths = np.diff(np.append(offsets, len(all_shingles)))
     empty = lengths == 0
-    safe_offsets = np.minimum(offsets, len(all_shingles) - 1)
+    # perm-major accumulator: out[p, lo:hi] writes are contiguous
+    out = np.full((num_perms, n_docs), np.iinfo(np.uint64).max, dtype=np.uint64)
+    N = len(all_shingles)
+    CHUNK = 65536
+    v = np.empty(CHUNK, dtype=np.uint64)
     with _ERRSTATE:
-        for p in range(num_perms):
-            v = a[p] * all_shingles + b[p]
-            mins = np.minimum.reduceat(v, safe_offsets)
-            out[:, p] = mins
+        for start in range(0, N, CHUNK):
+            end = min(start + CHUNK, N)
+            sh = all_shingles[start:end]
+            # docs whose slices intersect [start, end)
+            lo = max(0, int(np.searchsorted(offsets, start, side="right")) - 1)
+            hi = int(np.searchsorted(offsets, end, side="left"))
+            local_off = np.maximum(offsets[lo:hi] - start, 0)
+            vv = v[: end - start]
+            for p in range(num_perms):
+                np.multiply(sh, a[p], out=vv)
+                vv += b[p]
+                # duplicate indices (empty docs) yield a bogus element
+                # value here; masked wholesale after the loop
+                mins = np.minimum.reduceat(vv, local_off)
+                np.minimum(out[p, lo:hi], mins, out=out[p, lo:hi])
+    out = np.ascontiguousarray(out.T)
     if empty.any():
         out[empty, :] = np.iinfo(np.uint64).max
     return out
