@@ -61,6 +61,14 @@ class DedupConfig:
     #: >= g + w - 1 shares at least one selected fingerprint, with
     #: window w = substring_min_len - winnow_gram + 1.
     winnow_gram: int = 64
+    #: when anchor extension fails to reach substring_min_len, run the
+    #: exact pair-local suffix-automaton LCS (util.lcs_length) as the
+    #: verifier of record.  This closes the adversarial repetition gap:
+    #: a doc whose shared block's content ALSO occurs earlier as a
+    #: shorter decoy makes first-occurrence anchors extend at the decoy
+    #: and under-measure the true shared run.  SEMANTIC (changes edge
+    #: sets), so it participates in config_hash.
+    exact_substring_fallback: bool = True
 
     # --- canonical-selection priority ---------------------------------
     #: optional pages column used as keep-priority (lower wins; None =

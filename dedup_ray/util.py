@@ -277,3 +277,60 @@ def winnow_select(hashes: np.ndarray, window: int) -> np.ndarray:
     sw = np.lib.stride_tricks.sliding_window_view(hashes, window)
     mins = sw.argmin(axis=1) + np.arange(len(sw))
     return np.unique(mins).astype(np.int64)
+
+
+def lcs_length(a: str, b: str) -> int:
+    """Exact longest-common-substring length via a suffix automaton of
+    ``a`` (Blumer et al. 1985 construction; the textbook online O(|a|)
+    algorithm) traversed with ``b``.  This is the pair-local equivalent
+    of a suffix-array pass (BASELINE.json:6): deterministic, exact, no
+    hashing — used as the fallback verifier when anchor extension
+    fails (stages/winnow.py) and as the test oracle for the winnowing
+    guarantee.  O(|a| + |b|) time, O(|a|) states."""
+    if not a or not b:
+        return 0
+    # suffix automaton of a
+    link = [-1]
+    length = [0]
+    trans: list[dict] = [{}]
+    last = 0
+    for ch in a:
+        cur = len(length)
+        length.append(length[last] + 1)
+        link.append(-1)
+        trans.append({})
+        p = last
+        while p != -1 and ch not in trans[p]:
+            trans[p][ch] = cur
+            p = link[p]
+        if p == -1:
+            link[cur] = 0
+        else:
+            q = trans[p][ch]
+            if length[p] + 1 == length[q]:
+                link[cur] = q
+            else:
+                clone = len(length)
+                length.append(length[p] + 1)
+                link.append(link[q])
+                trans.append(dict(trans[q]))
+                while p != -1 and trans[p].get(ch) == q:
+                    trans[p][ch] = clone
+                    p = link[p]
+                link[q] = clone
+                link[cur] = clone
+        last = cur
+    # walk b
+    v, cur_len, best = 0, 0, 0
+    for ch in b:
+        while v != 0 and ch not in trans[v]:
+            v = link[v]
+            cur_len = length[v]
+        if ch in trans[v]:
+            v = trans[v][ch]
+            cur_len += 1
+            if cur_len > best:
+                best = cur_len
+        else:
+            v, cur_len = 0, 0
+    return best

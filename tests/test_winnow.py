@@ -86,3 +86,64 @@ def test_recall_with_substring_pass():
     # every substring cluster of the fixture has >= 2 members merged
     merged = a.loc[ss].groupby("cluster_id").size()
     assert (merged >= 2).any()
+
+
+def test_repetitive_shared_block_detected():
+    """High-local-repetition shared block (VERDICT r01 item 8): the
+    periodic interior means only period-many distinct gram hashes, so
+    winnowing selects heavily-tied minima — the guarantee must hold
+    anyway (argmin tie-break is value-deterministic)."""
+    shared = "spam ham eggs " * 24  # 336 chars, period 14
+    assert len(shared) >= CFG.substring_min_len + CFG.winnow_gram
+    fill_a = _rand_words(11, 200)
+    fill_b = _rand_words(12, 200)
+    rows = {
+        "url": ["a", "b"],
+        "text": [
+            fill_a[:300] + shared + fill_a[300:],
+            fill_b[:500] + shared + fill_b[500:],
+        ],
+    }
+    edges = substring_edges(_winners(rows), CFG).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(edges["u"], edges["v"])}
+    assert ("a", "b") in got
+    row = edges[(edges["u"] == "a") & (edges["v"] == "b")].iloc[0]
+    assert row["score"] >= CFG.substring_min_len
+
+
+def test_decoy_repetition_needs_exact_fallback():
+    """Adversarial case: doc a contains a SHORT decoy occurrence of the
+    periodic unit before the real shared block.  First-occurrence
+    anchors extend at the decoy (< min_len); only the exact
+    suffix-automaton LCS fallback finds the true >= min_len run."""
+    from dedup_ray.util import lcs_length
+
+    unit = "spam ham eggs "
+    shared = unit * 24          # 336-char real shared block
+    decoy = unit * 6            # 84-char decoy (>= gram, < min_len)
+    fill_a = _rand_words(21, 300)
+    fill_b = _rand_words(22, 300)
+    text_a = fill_a[:200] + decoy + fill_a[200:1200] + shared + fill_a[1200:]
+    text_b = fill_b[:400] + shared + fill_b[400:]
+    assert lcs_length(text_a, text_b) >= CFG.substring_min_len
+    rows = {"url": ["a", "b"], "text": [text_a, text_b]}
+    edges = substring_edges(_winners(rows), CFG).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(edges["u"], edges["v"])}
+    assert ("a", "b") in got
+    row = edges[(edges["u"] == "a") & (edges["v"] == "b")].iloc[0]
+    assert row["score"] >= CFG.substring_min_len
+
+    # and with the fallback disabled the engine must still emit the
+    # edge only if extension alone reaches min_len — this documents
+    # WHY the fallback is on by default rather than asserting a miss
+    import dataclasses
+
+    cfg_off = dataclasses.replace(CFG, exact_substring_fallback=False)
+    edges_off = substring_edges(_winners(rows), cfg_off).to_pandas()
+    if len(edges_off) and "u" in edges_off.columns:
+        for s in edges_off[(edges_off["u"] == "a")]["score"]:
+            assert s >= CFG.substring_min_len
+    else:
+        # extension alone misses the pair — the decoy anchors absorb
+        # every try.  This miss is exactly what the fallback closes.
+        pass
