@@ -167,11 +167,90 @@ def _merge_forests(a: pa.Table, b: pa.Table) -> pa.Table:
     return _forest_from_pairs(np.concatenate(parts_n), np.concatenate(parts_r))
 
 
-def connected_components(edges: ray.data.Dataset) -> dict[str, str]:
+@ray.remote
+class ForestMergeActor:
+    """One slot of the union-find merge POOL (BASELINE.json:6
+    "tree-reduce on actor pools"): holds a mutable factorized-int DSU
+    and absorbs (node, root) forests incrementally.
+
+    Why an actor and not a task chain: the DSU state persists across
+    absorbs, so K actors reduce B leaf forests with ZERO intermediate
+    re-factorization — each (node, root) row is unioned into existing
+    state instead of rebuilding an np.unique codebook per merge level.
+    The merge order never changes the component partition, so the
+    result is scheduling-independent."""
+
+    def __init__(self) -> None:
+        self._code: dict = {}
+        self._parent: list[int] = []
+        self._size: list[int] = []
+
+    def _find(self, i: int) -> int:
+        parent = self._parent
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def absorb(self, t: pa.Table) -> int:
+        """Union every (node, root) pair of a forest into the state."""
+        if t is None or "node" not in t.column_names or len(t) == 0:
+            return len(self._parent)
+        code, parent, size = self._code, self._parent, self._size
+        for n, r in zip(t["node"].to_pylist(), t["root"].to_pylist()):
+            a = code.get(n)
+            if a is None:
+                a = code[n] = len(parent)
+                parent.append(a)
+                size.append(1)
+            b = code.get(r)
+            if b is None:
+                b = code[r] = len(parent)
+                parent.append(b)
+                size.append(1)
+            ra, rb = self._find(a), self._find(b)
+            if ra == rb:
+                continue
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+        return len(parent)
+
+    def forest(self) -> pa.Table:
+        """Serialize state as a fully-resolved (node, root) table."""
+        if not self._code:
+            return _EMPTY_FOREST
+        nodes = list(self._code)
+        codes = np.fromiter(self._code.values(), dtype=np.int64, count=len(nodes))
+        p = np.array(self._parent, dtype=np.int64)
+        while True:
+            p2 = p[p]
+            if np.array_equal(p2, p):
+                break
+            p = p2
+        inv = {c: n for n, c in self._code.items()}
+        roots = [inv[int(c)] for c in p[codes]]
+        return pa.table(
+            {
+                "node": pa.array(nodes, type=pa.string()),
+                "root": pa.array(roots, type=pa.string()),
+            }
+        )
+
+
+def connected_components(
+    edges: ray.data.Dataset, *, num_merge_actors: int | None = None
+) -> dict[str, str]:
     """edges(u, v) -> {node: cluster_id} where cluster_id is the MIN
     node string in the component (deterministic canonical label).
 
-    Nodes with no edges are absent (callers treat them as singletons).
+    Tree-reduce on an actor pool: leaf forests (one per edge block,
+    built in parallel by Ray Data) are absorbed round-robin into K
+    merge actors (parallel partial reduce with persistent DSU state),
+    then the K actor forests tree-merge pairwise (log2 K actor-to-actor
+    handoffs through the object store).  Nodes with no edges are absent
+    (callers treat them as singletons).
     """
     # leaf forests: one (node, root) table per edge block, built in
     # parallel by Ray Data, left in the object store via to_arrow_refs
@@ -183,15 +262,25 @@ def connected_components(edges: ray.data.Dataset) -> dict[str, str]:
     ]
     if not refs:
         return {}
-    # binary tree-reduce of forests (log depth, merges run in parallel)
-    while len(refs) > 1:
+    from dedup_ray.core import default_pool_size
+
+    K = min(num_merge_actors or default_pool_size(cap=8), len(refs))
+    actors = [ForestMergeActor.remote() for _ in range(K)]
+    ray.get([actors[i % K].absorb.remote(r) for i, r in enumerate(refs)])
+    alive = actors
+    while len(alive) > 1:
+        futs = []
         nxt = []
-        for i in range(0, len(refs) - 1, 2):
-            nxt.append(_merge_forests.remote(refs[i], refs[i + 1]))
-        if len(refs) % 2:
-            nxt.append(refs[-1])
-        refs = nxt
-    final = ray.get(refs[0])
+        for i in range(0, len(alive) - 1, 2):
+            futs.append(alive[i].absorb.remote(alive[i + 1].forest.remote()))
+            nxt.append(alive[i])
+        if len(alive) % 2:
+            nxt.append(alive[-1])
+        ray.get(futs)
+        alive = nxt
+    final = ray.get(alive[0].forest.remote())
+    for a in actors:
+        ray.kill(a)
     if len(final) == 0 or "node" not in final.column_names:
         return {}
     nodes = np.array(final["node"].to_pylist(), dtype=object)
