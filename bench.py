@@ -30,7 +30,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 #: large enough that per-stage compute dominates Ray's fixed
 #: orchestration costs (~1 min of setup noise would otherwise swamp
 #: the 8-vs-32 comparison)
-SCALING_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "600000"))
+SCALING_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "2400000"))
 SCALING_DIR = f"/tmp/bench_pages_{SCALING_ROWS}"
 
 
@@ -148,17 +148,19 @@ def _ensure_corpus() -> None:
 
 
 SCALING_LEVELS = (2, 8, 32)
-SCALING_REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+SCALING_REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 
 
 def run_scaling() -> None:
     """Measure the flagship at 2, 8 and 32 CPUs (fresh process per run,
-    best-of-N per level — the sandbox host shows +/-50% run-to-run
-    noise at high parallelism).  The N->4N criterion is evidenced by
-    BOTH spreads: 2->8 captures the CPU-bound regime; 8->32 exposes
-    the single-box limit where the shared object store / memory
-    bandwidth saturates (resources a real multi-node cluster scales
-    with node count)."""
+    levels interleaved within each repeat so host noise — measured at
+    +/-50% on this sandbox — hits all levels alike; median + IQR of N
+    repeats reported).  The N->4N criterion is evidenced by BOTH
+    spreads: 2->8 captures the CPU-bound regime (the honest proxy for
+    adding nodes, since each added node brings its own memory bus and
+    object store); 8->32 exposes the single-box limit where the SHARED
+    plasma store / memory bandwidth saturates — a resource a real
+    multi-node cluster scales with node count."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     _ensure_corpus()
     import statistics
@@ -179,15 +181,25 @@ def run_scaling() -> None:
             r = json.loads(proc.stdout.strip().splitlines()[-1])
             rows = r["rows"]
             samples[ncpu].append(r["sec"])
-    best = {n: statistics.median(v) for n, v in samples.items()}
-    eff_2_8 = (best[2] / best[8]) / 4
-    eff_8_32 = (best[8] / best[32]) / 4
+            print(
+                json.dumps({"rep": rep, "num_cpus": ncpu, "sec": r["sec"]}),
+                file=sys.stderr,
+            )
+
+    def iqr(v):
+        q = statistics.quantiles(v, n=4) if len(v) >= 2 else [v[0]] * 3
+        return q[0], q[2]
+
+    med = {n: statistics.median(v) for n, v in samples.items()}
+    eff_2_8 = (med[2] / med[8]) / 4
+    eff_8_32 = (med[8] / med[32]) / 4
     out = {
         "metric": f"flagship dedup scaling (fresh processes, median of {SCALING_REPEATS})",
         "samples_sec": {str(n): [round(x, 1) for x in samples[n]] for n in SCALING_LEVELS},
         "rows": rows,
-        "sec": {str(n): round(best[n], 1) for n in SCALING_LEVELS},
-        "pages_per_sec": {str(n): round(rows / best[n], 1) for n in SCALING_LEVELS},
+        "sec": {str(n): round(med[n], 1) for n in SCALING_LEVELS},
+        "iqr_sec": {str(n): [round(x, 1) for x in iqr(samples[n])] for n in SCALING_LEVELS},
+        "pages_per_sec": {str(n): round(rows / med[n], 1) for n in SCALING_LEVELS},
         "scaling_efficiency_2_to_8": round(eff_2_8, 3),
         "scaling_efficiency_8_to_32": round(eff_8_32, 3),
     }
@@ -197,9 +209,11 @@ def run_scaling() -> None:
         f.write(
             f"\n## scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
             f"- corpus: {rows} synthetic pages ({SCALING_DIR}); median of "
-            f"{SCALING_REPEATS} fresh-process runs per level\n"
+            f"{SCALING_REPEATS} interleaved fresh-process runs per level\n"
             + "".join(
-                f"- {n} cpus: {best[n]:.1f}s ({rows/best[n]:.0f} pages/s)\n"
+                f"- {n} cpus: median {med[n]:.1f}s (IQR {iqr(samples[n])[0]:.1f}-"
+                f"{iqr(samples[n])[1]:.1f}s, {rows/med[n]:.0f} pages/s; samples "
+                f"{[round(x,1) for x in samples[n]]})\n"
                 for n in SCALING_LEVELS
             )
             + f"- scaling efficiency 2->8 (N->4N, CPU-bound regime): {eff_2_8:.3f}\n"
