@@ -66,6 +66,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_ann_lsh": emb.ann_lsh_pairs,
         }
     )
+    q["embedding_dedup"] = emb.embedding_dedup
+    from dedup_ray.stages import ivf
+
+    # IVF with n_probe == n_lists is exhaustive -> exact top-k, so it
+    # shares cosine_topk's oracle; the default (probed) variant is the
+    # approximate scale path, rows-only + pytest recall.
+    q["embedding_ivf_topk"] = ivf.ivf_topk
+    q["embedding_ivf_topk_exhaustive"] = lambda sf: ivf.ivf_topk(
+        sf, n_lists=16, n_probe=16
+    )
     try:  # near-dup layer registers once implemented (rows-only checks)
         from dedup_ray.pipelines import neardup_queries as nq
 
@@ -109,6 +119,12 @@ def oracle_sql() -> dict[str, str]:
             "quality_score": tx.QUALITY_SCORE_SQL,
             "embedding_cosine_topk": emb.COSINE_TOPK_SQL,
             "embedding_near_pairs": emb.COSINE_NEAR_PAIRS_SQL,
+            # exhaustive IVF (n_probe == n_lists) is exact, so the
+            # brute-force top-k SQL is its oracle too
+            "embedding_ivf_topk_exhaustive": emb.COSINE_TOPK_SQL,
+            # union-find clustering vs a recursive-CTE transitive
+            # closure — the connected-components oracle
+            "embedding_dedup": emb.EMBEDDING_DEDUP_SQL,
         }
     )
     try:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -29,7 +30,6 @@ from dedup_ray.stages.exact import exact_members
 from dedup_ray.stages.hashing import add_content_sha256
 from dedup_ray.stages.lsh import minhash_edges
 from dedup_ray.stages.minhash import minhash_signatures_stage
-from dedup_ray.state.unionfind import connected_components
 
 _KIND_RANK = {"exact": 0, "minhash": 1, "substring": 2}
 _RANK_KIND_ARR = np.array(["exact", "minhash", "substring"], dtype=object)
@@ -74,99 +74,190 @@ def _nk_kernel(g: pa.Table) -> pa.Table:
     return pa.table({"node": g["node"].take(idx), "rank": g["rank"].take(idx)})
 
 
-def _node_kinds(edges: ray.data.Dataset) -> dict[str, int]:
-    """Best (lowest-rank) incident edge kind per node.  Reduced
-    DISTRIBUTEDLY (vectorized partition kernel over a hash exchange);
-    the driver only materializes the final one-row-per-incident-node
-    table — the same cardinality connected_components already holds."""
+def _node_kinds_ds(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Best (lowest-rank) incident edge kind per node, as a DATASET —
+    reduced by a vectorized partition kernel over a hash exchange and
+    consumed by the assignment exchange below; never collected."""
     from dedup_ray.core import hash_strings_u64, partitioned_kernel
 
     rows = edges.map_batches(_nk_rows, batch_format="pyarrow", zero_copy_batch=True)
-    reduced = partitioned_kernel(
+    return partitioned_kernel(
         rows,
         lambda t: hash_strings_u64(t["node"].to_pylist()),
         _nk_kernel,
         num_partitions=16,
         empty_result=_NK_EMPTY,
     )
-    kinds: dict[str, int] = {}
-    for b in reduced.iter_batches(batch_format="pyarrow", batch_size=65536):
-        if "node" not in b.column_names:
-            continue
-        kinds.update(zip(b["node"].to_pylist(), b["rank"].to_pylist()))
-    return kinds
 
 
-import functools
+_ASSIGN_TALL_EMPTY = pa.table(
+    {
+        "gkey": pa.array([], type=pa.int64()),
+        "slot": pa.array([], type=pa.int32()),
+        "url": pa.array([], type=pa.string()),
+        "winner_url": pa.array([], type=pa.string()),
+        "content_sha256": pa.array([], type=pa.string()),
+        "n_chars": pa.array([], type=pa.int64()),
+        "priority": pa.array([], type=pa.int64()),
+        "group_n": pa.array([], type=pa.int64()),
+        "cluster": pa.array([], type=pa.string()),
+        "rank": pa.array([], type=pa.int32()),
+    }
+)
+
+_ASSIGNED_EMPTY = pa.table(
+    {
+        "url": pa.array([], type=pa.string()),
+        "cluster_id": pa.array([], type=pa.string()),
+        "kind": pa.array([], type=pa.string()),
+        "content_sha256": pa.array([], type=pa.string()),
+        "n_chars": pa.array([], type=pa.int64()),
+        "priority": pa.array([], type=pa.int64()),
+        "is_canonical": pa.array([], type=pa.bool_()),
+    }
+)
 
 
-@functools.lru_cache(maxsize=8)
-def _worker_cluster_map(map_ref):
-    return ray.get(map_ref)
+def _member_tall(t: pa.Table) -> pa.Table:
+    if "winner_id" not in t.column_names or len(t) == 0:
+        return _ASSIGN_TALL_EMPTY
+    n = len(t)
+    return pa.table(
+        {
+            "gkey": t["winner_id"],
+            "slot": pa.array(np.zeros(n, dtype=np.int32)),
+            "url": t["url"],
+            "winner_url": t["winner_url"],
+            "content_sha256": t["content_sha256"],
+            "n_chars": t["n_chars"],
+            "priority": t["priority"],
+            "group_n": t["group_n"],
+            "cluster": pa.nulls(n, type=pa.string()),
+            "rank": pa.array(np.zeros(n, dtype=np.int32)),
+        }
+    )
 
 
-def _broadcast_tables(mapping: dict[str, str], kinds: dict[str, int]):
-    """Dicts -> sorted-uint64-key lookup arrays (winner_id is already a
-    column, so batch lookups become np.searchsorted, not dict probes)."""
+def _map_tall(t: pa.Table) -> pa.Table:
+    if "node" not in t.column_names or len(t) == 0:
+        return _ASSIGN_TALL_EMPTY
     from dedup_ray.util import hash_urls_u64
 
-    map_keys = hash_urls_u64(list(mapping.keys()))
-    mo = np.argsort(map_keys)
-    map_ids = map_keys[mo]
-    map_cluster = np.array(list(mapping.values()), dtype=object)[mo]
-    kind_keys = hash_urls_u64(list(kinds.keys()))
-    ko = np.argsort(kind_keys)
-    kind_ids = kind_keys[ko]
-    kind_ranks = np.array(list(kinds.values()), dtype=np.int32)[ko]
-    return map_ids, map_cluster, kind_ids, kind_ranks
-
-
-def _assign_batch(t: pa.Table, map_ref, uniform: bool) -> pa.Table:
-    """Vectorized relabel: cluster/kind lookups are searchsorted probes
-    on broadcast uint64-keyed arrays; no per-row Python branches."""
-    import pyarrow.compute as pc
-
-    map_ids, map_cluster, kind_ids, kind_ranks = _worker_cluster_map(map_ref)
     n = len(t)
-    wid = t["winner_id"].to_numpy(zero_copy_only=False).view(np.uint64)
-    winners = np.array(t["winner_url"].to_pylist(), dtype=object)
-    cluster = winners.copy()
-    if len(map_ids):
-        idx = np.minimum(np.searchsorted(map_ids, wid), len(map_ids) - 1)
-        found = map_ids[idx] == wid
-        cluster[found] = map_cluster[idx[found]]
-    is_loser = np.invert(
-        pc.equal(t["url"], t["winner_url"]).combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
+    ids = hash_urls_u64(t["node"].to_pylist()).view(np.int64)
+    nulls = pa.nulls(n, type=pa.string())
+    z = pa.array(np.zeros(n, dtype=np.int64))
+    return pa.table(
+        {
+            "gkey": pa.array(ids, type=pa.int64()),
+            "slot": pa.array(np.full(n, -1, dtype=np.int32)),
+            "url": nulls,
+            "winner_url": nulls,
+            "content_sha256": nulls,
+            "n_chars": z,
+            "priority": z,
+            "group_n": z,
+            "cluster": t["cluster_id"],
+            "rank": pa.array(np.zeros(n, dtype=np.int32)),
+        }
     )
-    group_n = t["group_n"].to_numpy(zero_copy_only=False)
-    kindrank = np.full(n, -1, dtype=np.int32)
-    if len(kind_ids):
-        kidx = np.minimum(np.searchsorted(kind_ids, wid), len(kind_ids) - 1)
-        kfound = kind_ids[kidx] == wid
-        kindrank[kfound] = kind_ranks[kidx[kfound]]
-    kind = np.where(
-        is_loser,
-        "exact",
-        np.where(
-            kindrank >= 0,
-            _RANK_KIND_ARR[np.maximum(kindrank, 0)],
-            np.where(group_n > 1, "exact", "unique"),
-        ),
-    ).astype(object)
-    cols = {
-        "url": t["url"],
-        "cluster_id": pa.array(cluster, type=pa.string()),
-        "kind": pa.array(kind, type=pa.string()),
-        "content_sha256": t["content_sha256"],
-        "n_chars": t["n_chars"],
-        "priority": t["priority"],
-    }
-    if uniform:
-        urls = np.array(t["url"].to_pylist(), dtype=object)
-        cols["is_canonical"] = pa.array(urls == cluster)
-    return pa.table(cols)
+
+
+def _kind_tall(t: pa.Table) -> pa.Table:
+    if "node" not in t.column_names or len(t) == 0:
+        return _ASSIGN_TALL_EMPTY
+    from dedup_ray.util import hash_urls_u64
+
+    n = len(t)
+    ids = hash_urls_u64(t["node"].to_pylist()).view(np.int64)
+    nulls = pa.nulls(n, type=pa.string())
+    z = pa.array(np.zeros(n, dtype=np.int64))
+    return pa.table(
+        {
+            "gkey": pa.array(ids, type=pa.int64()),
+            "slot": pa.array(np.full(n, -2, dtype=np.int32)),
+            "url": nulls,
+            "winner_url": nulls,
+            "content_sha256": nulls,
+            "n_chars": z,
+            "priority": z,
+            "group_n": z,
+            "cluster": nulls,
+            "rank": pc.cast(t["rank"], pa.int32()),
+        }
+    )
+
+
+def _assign_kernel_factory(uniform: bool):
+    def assign_kernel(g: pa.Table) -> pa.Table:
+        """Per winner_id segment: rows sorted (kind -2, map -1, members
+        0); per-segment cluster/kind values gathered vectorized and
+        applied to the member rows — the same relabel semantics the
+        broadcast variant had, now fully inside the exchange."""
+        gkeys = g["gkey"].to_numpy(zero_copy_only=False)
+        slots = g["slot"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((slots, gkeys))
+        gs = gkeys[order]
+        from dedup_ray.core import segments
+
+        starts, lens = segments(gs)
+        slots_sorted = slots[order]
+        n_seg = len(starts)
+        seg_id = np.repeat(np.arange(n_seg), lens)
+
+        first = slots_sorted[starts]
+        second_pos = np.minimum(starts + 1, len(gs) - 1)
+        second = slots_sorted[second_pos]
+        # per-segment source row for kind (-2) and map (-1) rows
+        kind_src = np.where(first == -2, starts, -1)
+        map_src = np.where(
+            first == -1, starts, np.where((first == -2) & (second == -1), second_pos, -1)
+        )
+        member = slots_sorted == 0
+        if not member.any():
+            return _ASSIGNED_EMPTY
+        m_rows = order[member]
+        m_seg = seg_id[member]
+
+        ranks = g["rank"].to_numpy(zero_copy_only=False)
+        kindrank = np.full(len(m_rows), -1, dtype=np.int32)
+        has_kind = kind_src[m_seg] >= 0
+        kindrank[has_kind] = ranks[order[kind_src[m_seg][has_kind]]]
+
+        clusters_all = np.array(g["cluster"].to_pylist(), dtype=object)
+        winners = np.array(g["winner_url"].to_pylist(), dtype=object)[m_rows]
+        cluster = winners.copy()
+        has_map = map_src[m_seg] >= 0
+        cluster[has_map] = clusters_all[order[map_src[m_seg][has_map]]]
+
+        urls = np.array(g["url"].to_pylist(), dtype=object)[m_rows]
+        is_loser = urls != winners
+        group_n = g["group_n"].to_numpy(zero_copy_only=False)[m_rows]
+        kind = np.where(
+            is_loser,
+            "exact",
+            np.where(
+                kindrank >= 0,
+                _RANK_KIND_ARR[np.maximum(kindrank, 0)],
+                np.where(group_n > 1, "exact", "unique"),
+            ),
+        ).astype(object)
+        take = pa.array(m_rows)
+        cols = {
+            "url": g["url"].take(take),
+            "cluster_id": pa.array(cluster, type=pa.string()),
+            "kind": pa.array(kind, type=pa.string()),
+            "content_sha256": g["content_sha256"].take(take),
+            "n_chars": g["n_chars"].take(take),
+            "priority": g["priority"].take(take),
+        }
+        if uniform:
+            cols["is_canonical"] = pa.array(urls == cluster)
+        else:
+            cols["is_canonical"] = pa.array(np.zeros(len(urls), dtype=bool))
+        return pa.table(cols)
+
+    return assign_kernel
 
 
 def cluster_and_assign(
@@ -178,26 +269,49 @@ def cluster_and_assign(
 ) -> ray.data.Dataset:
     """members (exact layer) + verified near-dup edges -> assignments.
 
-    The union-find mapping covers only nodes incident to an edge (tiny
-    vs corpus) and is BROADCAST (ray.put) into a stateless relabel
-    stage — no join shuffle.  Canonical selection:
+    FULLY DISTRIBUTED relabel: the union-find cluster map and per-node
+    best-kind table stay Datasets and ride ONE hash exchange together
+    with the slim member rows (keyed on winner doc_id) — no driver
+    dict, no ray.put broadcast.  At 10^12 docs the dup-incident node
+    set is a large fraction of the corpus, so a broadcast map is
+    driver-OOM; the exchange is the scale path AND removes the
+    CPU-count-independent driver work that capped scaling efficiency.
+    Canonical selection:
 
     - uniform priority (default): canonical member of a cluster is by
-      construction the min url == cluster_id, so no extra shuffle;
-    - otherwise a groupby(cluster_id) picks min((priority, url)).
+      construction the min url == cluster_id — computed in-kernel;
+    - otherwise a cluster_id-keyed kernel picks min((priority, url)).
     """
-    edges = edges.materialize()  # consumed twice (components + kinds)
-    mapping = connected_components(edges)
-    kinds = _node_kinds(edges)
-    # broadcast ONCE via ray.put; tasks fetch the shared copy through
-    # the worker-singleton below (never re-shipped per task)
-    map_ref = ray.put(_broadcast_tables(mapping, kinds))
+    from dedup_ray.core import partitioned_kernel
+    from dedup_ray.state.unionfind import components_dataset
 
-    assigned = members.map_batches(
-        _assign_batch,
-        fn_kwargs={"map_ref": map_ref, "uniform": assume_uniform_priority},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    edges = edges.materialize()  # consumed twice (components + kinds)
+    cc = components_dataset(edges)
+    kinds = _node_kinds_ds(edges)
+
+    slim_cols = [
+        "url",
+        "winner_id",
+        "winner_url",
+        "content_sha256",
+        "n_chars",
+        "priority",
+        "group_n",
+    ]
+    tall = (
+        members.select_columns([c for c in slim_cols if c])
+        .map_batches(_member_tall, batch_format="pyarrow", zero_copy_batch=True)
+        .union(cc.map_batches(_map_tall, batch_format="pyarrow", zero_copy_batch=True))
+        .union(
+            kinds.map_batches(_kind_tall, batch_format="pyarrow", zero_copy_batch=True)
+        )
+    )
+    assigned = partitioned_kernel(
+        tall,
+        lambda t: t["gkey"].to_numpy(zero_copy_only=False).view(np.uint64),
+        _assign_kernel_factory(assume_uniform_priority),
+        num_partitions=cfg.num_partitions,
+        empty_result=_ASSIGNED_EMPTY,
     )
     if assume_uniform_priority:
         return assigned
@@ -237,6 +351,8 @@ def _pick_canonical_by_priority(
         starts, _lens = segments_obj(cl[order])
         mask = np.zeros(len(g), dtype=bool)
         mask[order[starts]] = True
+        if "is_canonical" in g.column_names:  # placeholder from assign
+            g = g.drop_columns(["is_canonical"])
         return g.append_column("is_canonical", pa.array(mask))
 
     return partitioned_kernel(

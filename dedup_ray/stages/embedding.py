@@ -412,3 +412,71 @@ def ann_lsh_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def embedding_dedup(sf_dir: str, *, threshold: float = 0.35) -> ray.data.Dataset:
+    """Embedding-cosine near-dup CLUSTERING (the dedup variant of the
+    similarity layer): near pairs above ``threshold`` -> union-find
+    connected components -> every vector labeled with its component's
+    MIN vec_id (singletons label themselves).
+
+    The cluster map covers only pair-incident vectors (tiny vs corpus)
+    and is broadcast via ray.put into a stateless vectorized relabel —
+    same join-free shape as the flagship's cluster_assign."""
+    from dedup_ray.state.unionfind import connected_components
+
+    pairs = cosine_near_pairs(sf_dir, threshold=threshold)
+    mapping = connected_components(pairs, u_col="id_a", v_col="id_b")
+    if mapping:
+        keys = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
+        vals = np.fromiter(mapping.values(), dtype=np.int64, count=len(mapping))
+        o = np.argsort(keys)
+        ref = ray.put((keys[o], vals[o]))
+    else:
+        ref = ray.put((np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)))
+
+    def relabel(t: pa.Table) -> pa.Table:
+        keys, vals = _worker_map(ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cluster = ids.copy()
+        if len(keys):
+            idx = np.minimum(np.searchsorted(keys, ids), len(keys) - 1)
+            found = keys[idx] == ids
+            cluster[found] = vals[idx[found]]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "cluster_id": pa.array(cluster, type=pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).map_batches(relabel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _worker_map(ref):
+    return ray.get(ref)
+
+
+#: connected components in ANSI SQL: recursive transitive closure over
+#: the thresholded similarity graph, then min reachable id per node
+EMBEDDING_DEDUP_SQL = """
+WITH RECURSIVE e AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+), reach(a, b) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.a, CASE WHEN e.a = r.b THEN e.b ELSE e.a END
+  FROM reach r JOIN e ON e.a = r.b OR e.b = r.b
+)
+SELECT a AS vec_id, cast(min(b) AS bigint) AS cluster_id
+FROM reach GROUP BY a
+"""

@@ -1,0 +1,290 @@
+"""IVF (inverted-file) approximate nearest-neighbor search over the
+``embeddings`` table — the coarse-quantizer counterpart to the
+hyperplane-LSH variant in ``stages/embedding.py`` (SURVEY.md §2C "ANN"
+row; the standard IVF-Flat layout from the FAISS / Jégou et al. 2011
+lineage, re-expressed as Ray Data stages).
+
+Pipeline shape:
+
+  1. TRAIN (driver-side, tiny): deterministic k-means on a seeded
+     hash-sample of the corpus (the sample, not the corpus, is
+     collected — a few thousand rows regardless of scale).  Lloyd
+     iterations are pure numpy; empty clusters re-seed from the
+     farthest points so the codebook is always full rank.
+  2. ASSIGN (map-only): broadcast the (k, dim) codebook via ray.put;
+     each batch computes its nearest / ``n_probe`` nearest centroids
+     with one matmul and emits slim (list_id, vec_id[, vec]) rows.
+  3. SEARCH (exchange + vectorized kernel): queries fan out to their
+     ``n_probe`` closest lists; corpus rows ride the same list_id hash
+     exchange ONCE; a partition kernel computes exact cosine within
+     each list and emits per-(query, list) partial top-k; a final
+     tiny top-k merge per query runs on the (k x n_queries)-row result.
+
+Scale notes: the codebook is O(k*dim) — broadcast, never reshuffled.
+The corpus moves through exactly one exchange keyed on list_id
+(same volume argument as lsh.verify_pairs).  ``n_lists`` should grow
+~sqrt(corpus) and ``n_probe`` controls the recall/cost trade-off.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from dedup_ray.core import partitioned_kernel, segments
+from dedup_ray.stages.embedding import _batch_matrix, _read_embeddings
+
+_TOPK_EMPTY = pa.table(
+    {
+        "query_id": pa.array([], type=pa.int64()),
+        "neighbor_id": pa.array([], type=pa.int64()),
+        "cos": pa.array([], type=pa.float64()),
+    }
+)
+
+
+def train_codebook(
+    sf_dir: str,
+    *,
+    n_lists: int = 16,
+    sample_mod: int = 4,
+    iters: int = 10,
+    seed: int = 13,
+) -> np.ndarray:
+    """Deterministic k-means codebook from a hash-sampled subset.
+
+    The sample predicate (vec_id % sample_mod == 0) is layout-invariant
+    and applied batch-side right after the column-pruned read (arrow
+    dataset expressions lack %); at web scale sample_mod grows so the
+    driver-side sample stays ~10^4 rows."""
+    import pyarrow.compute as pc
+
+    if sample_mod & (sample_mod - 1):
+        raise ValueError("sample_mod must be a power of two (bitmask sampling)")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["vec_id"], sample_mod - 1), 0)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    mats = []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        _, m = _batch_matrix(b)
+        mats.append(m)
+    x = np.vstack(mats)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    rng = np.random.Generator(np.random.PCG64(seed))
+    k = min(n_lists, len(x))
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members) == 0:
+                # re-seed an empty list from the worst-served point
+                worst = sims.max(axis=1).argmin()
+                cent[c] = x[worst]
+                continue
+            v = members.sum(axis=0)
+            n = np.linalg.norm(v)
+            cent[c] = v / n if n > 0 else cent[c]
+    return cent
+
+
+def ivf_topk(
+    sf_dir: str,
+    *,
+    n_queries: int = 3,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 13,
+) -> ray.data.Dataset:
+    """IVF-Flat cosine top-k for each query vec_id < n_queries.
+
+    Same output contract as ``embedding.cosine_topk`` (query_id,
+    neighbor_id, rank) so recall is directly measurable against the
+    exact oracle; with n_probe == n_lists the result is exact."""
+    import pyarrow.compute as pc
+
+    cent = train_codebook(sf_dir, n_lists=n_lists, seed=seed)
+    c_ref = ray.put(cent)
+
+    # queries: predicate pushed into the read; tiny
+    q_rows = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < n_queries,
+    ).take_all()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qm = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qm = qm / qn
+    # each query probes its n_probe nearest lists
+    q_lists = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]
+    q_ref = ray.put((q_ids, qm, q_lists))
+
+    dim = qm.shape[1]
+
+    def corpus_rows(t: pa.Table) -> pa.Table:
+        """Slim (gkey=list_id, vec_id, vec, is_query=0) rows — one row
+        per corpus vector, assigned to its single nearest list."""
+        from dedup_ray.util import u64_matrix_to_binary
+
+        ids, m = _batch_matrix(t)
+        nn = np.linalg.norm(m, axis=1, keepdims=True)
+        nn[nn == 0] = 1.0
+        m = np.ascontiguousarray(m / nn)
+        cb = _worker_obj(c_ref)
+        assign = (m @ cb.T).argmax(axis=1).astype(np.int64)
+        n = len(ids)
+        return pa.table(
+            {
+                "gkey": pa.array(assign, type=pa.int64()),
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "is_query": pa.array(np.zeros(n, dtype=np.int32)),
+                "vec": u64_matrix_to_binary(m.view(np.uint64)),
+            }
+        )
+
+    # query rows replicated to each probed list (tiny: n_queries x n_probe)
+    from dedup_ray.util import u64_matrix_to_binary
+
+    qi, ql = [], []
+    for i in range(len(q_ids)):
+        for L in q_lists[i]:
+            qi.append(i)
+            ql.append(int(L))
+    q_tall = pa.table(
+        {
+            "gkey": pa.array(ql, type=pa.int64()),
+            "vec_id": pa.array(q_ids[qi], type=pa.int64()),
+            "is_query": pa.array(np.ones(len(qi), dtype=np.int32)),
+            "vec": u64_matrix_to_binary(
+                np.ascontiguousarray(qm[qi]).view(np.uint64)
+            ),
+        }
+    )
+
+    tall = (
+        _read_embeddings(sf_dir)
+        .map_batches(corpus_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .union(ray.data.from_arrow(q_tall))
+    )
+
+    def list_kernel(g: pa.Table) -> pa.Table:
+        """All lists of this partition at once: per-list exact cosine of
+        the probing queries vs the list members, partial top-k each."""
+        from dedup_ray.util import binary_to_u64_matrix
+
+        keys = g["gkey"].to_numpy(zero_copy_only=False)
+        isq = g["is_query"].to_numpy(zero_copy_only=False)
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, isq, keys))
+        ks = keys[order]
+        starts, lens = segments(ks)
+        mat = binary_to_u64_matrix(g["vec"].take(pa.array(order)), dim).view(
+            np.float64
+        )
+        isq_s, ids_s = isq[order], ids[order]
+        out_q, out_n, out_c = [], [], []
+        for s, L in zip(starts.tolist(), lens.tolist()):
+            qmask = isq_s[s : s + L] == 1
+            nq = int(qmask.sum())
+            if nq == 0 or nq == L:
+                continue
+            qs = mat[s : s + L][qmask]
+            cs = mat[s : s + L][~qmask]
+            qid = ids_s[s : s + L][qmask]
+            cid = ids_s[s : s + L][~qmask]
+            cos = cs @ qs.T  # (members, queries)
+            for j in range(nq):
+                col = cos[:, j]
+                mask = cid != qid[j]
+                cand_i, cand_c = cid[mask], col[mask]
+                if len(cand_i) > k:
+                    top = np.lexsort((cand_i, -cand_c))[:k]
+                else:
+                    top = np.argsort(-cand_c)
+                out_q.extend([int(qid[j])] * len(top))
+                out_n.extend(cand_i[top].tolist())
+                out_c.extend(cand_c[top].tolist())
+        if not out_q:
+            return _TOPK_EMPTY
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "cos": pa.array(out_c, type=pa.float64()),
+            }
+        )
+
+    partials = partitioned_kernel(
+        tall,
+        lambda t: t["gkey"].to_numpy(zero_copy_only=False).view(np.uint64),
+        list_kernel,
+        num_partitions=min(32, n_lists),
+        empty_result=_TOPK_EMPTY,
+    )
+
+    final_empty = pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def final_kernel(g: pa.Table) -> pa.Table:
+        """Merge partial top-k per query (vectorized multi-query)."""
+        if "query_id" not in g.column_names or len(g) == 0:
+            return final_empty
+        q = g["query_id"].to_numpy(zero_copy_only=False)
+        nid = g["neighbor_id"].to_numpy(zero_copy_only=False)
+        cos = g["cos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -cos, q))
+        qs = q[order]
+        # drop duplicate (query, neighbor) rows (a neighbor can reach a
+        # query via several probed lists)
+        dup = np.zeros(len(qs), dtype=bool)
+        if len(qs) > 1:
+            dup[1:] = (qs[1:] == qs[:-1]) & (nid[order][1:] == nid[order][:-1])
+        order = order[~dup]
+        qs = q[order]
+        starts, lens = segments(qs)
+        seg_id = np.repeat(np.arange(len(starts)), lens)
+        rank = np.arange(len(qs)) - starts[seg_id]
+        keep = rank < k
+        return pa.table(
+            {
+                "query_id": pa.array(qs[keep], type=pa.int64()),
+                "neighbor_id": pa.array(nid[order][keep], type=pa.int64()),
+                "rank": pa.array(rank[keep] + 1, type=pa.int64()),
+            }
+        )
+
+    return partitioned_kernel(
+        partials,
+        lambda t: t["query_id"].to_numpy(zero_copy_only=False).view(np.uint64),
+        final_kernel,
+        num_partitions=4,
+        empty_result=final_empty,
+    )
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _worker_obj(ref):
+    """Per-worker broadcast fetch (ray.put once, read per worker)."""
+    return ray.get(ref)

@@ -1,21 +1,24 @@
-"""Multimodal (image/audio/video) stages — REAL Ray-side plumbing,
-STUBBED codecs.
+"""Multimodal (image/audio/video) stages — REAL Ray-side plumbing with
+REAL stdlib codecs for PNG / BMP / 16-bit WAV, pluggable externals for
+the rest.
 
 Media rides the pipeline as opaque ``binary`` columns plus typed
 metadata, exactly like ``html`` in the pages schema.  The
 decode/feature kernels below are actor-pool ``map_batches`` stages with
 the production shape — small batch sizes (payloads are MBs, not KBs),
-per-actor setup in ``__init__``, fixed output schemas — but the codec
-itself is pluggable:
+per-actor setup in ``__init__``, fixed output schemas.  Codec
+resolution order per payload:
 
-  - if a real library (PIL / soundfile / av) is importable it is used;
-  - otherwise the DETERMINISTIC FAKE decoder runs: it derives
-    dimensions from a stable hash of the payload and computes a real
-    byte-histogram feature vector.  This keeps schema, batching,
-    actor signatures and output layout testable in this container
-    (none of the media libraries are installed here);
-  - ``strict=True`` raises NotImplementedError instead of faking, for
-    callers that must not silently produce fake features.
+  1. a real library (PIL / soundfile / av) when importable;
+  2. the pure-stdlib decoders in ``functions/codecs.py`` (PNG, BMP,
+     WAV) — REAL decodes with pixel/sample-derived features, fully
+     exercised in this container;
+  3. otherwise the DETERMINISTIC FAKE decoder (dims from a stable
+     payload hash, features = normalized byte histogram), keeping
+     schema/batching/layout testable for formats with no decoder here
+     (JPEG, MP4, ...);
+  ``strict=True`` raises NotImplementedError instead of faking, for
+  callers that must not silently produce fake features.
 """
 
 from __future__ import annotations
@@ -53,10 +56,11 @@ def _try_import_pil():
 class DecodeImage:
     """binary payload -> (width, height, channels, features[256]).
 
-    Real decoder when PIL is available; deterministic fake otherwise
-    (dims from payload hash, features = normalized byte histogram —
-    a real computation over the real bytes, so downstream stages see
-    realistic, content-dependent vectors)."""
+    PNG and BMP payloads are REALLY decoded (functions/codecs.py) and
+    the feature vector is the normalized 256-bin LUMINANCE histogram of
+    the actual pixels; PIL handles other formats when importable; the
+    deterministic fake (dims from payload hash, byte histogram) covers
+    the rest so the pipeline shape stays testable."""
 
     def __init__(self, *, strict: bool = False) -> None:
         self.pil = _try_import_pil()
@@ -73,30 +77,59 @@ class DecodeImage:
         total = hist.sum()
         return hist / total if total else hist
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.pil is None and self.strict:
+    @staticmethod
+    def _pixel_features(px: np.ndarray) -> np.ndarray:
+        """Normalized 256-bin luminance histogram of decoded pixels."""
+        if px.shape[2] >= 3:
+            lum = (
+                0.299 * px[:, :, 0].astype(np.float32)
+                + 0.587 * px[:, :, 1].astype(np.float32)
+                + 0.114 * px[:, :, 2].astype(np.float32)
+            ).astype(np.int32)
+        else:
+            lum = px[:, :, 0].astype(np.int32)
+        hist = np.bincount(lum.reshape(-1), minlength=256)[:256].astype(np.float32)
+        total = hist.sum()
+        return hist / total if total else hist
+
+    def _decode(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
+        from dedup_ray.functions import codecs
+
+        kind = codecs.sniff(payload)
+        try:
+            if kind == "png":
+                px = codecs.decode_png(payload)
+                return px.shape[1], px.shape[0], px.shape[2], self._pixel_features(px)
+            if kind == "bmp":
+                px = codecs.decode_bmp(payload)
+                return px.shape[1], px.shape[0], px.shape[2], self._pixel_features(px)
+        except ValueError:
+            pass  # unsupported sub-format -> PIL / fake below
+        if self.pil is not None:
+            import io
+
+            img = self.pil.open(io.BytesIO(payload))
+            w, h = img.size
+            return w, h, len(img.getbands()), self._features(payload)
+        if self.strict:
             raise NotImplementedError(
-                "image decoding requires PIL, which is not installed; "
-                "run with strict=False for the deterministic fake decoder"
+                f"no decoder for this payload (sniffed: {kind!r}); PIL is "
+                "not installed — run with strict=False for the fake decoder"
             )
+        w, h, c = self._fake_dims(payload)
+        return w, h, c, self._features(payload)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         urls, ws, hs, cs, feats = [], [], [], [], []
         for url, payload in zip(
             batch["url"].to_pylist(), batch["payload"].to_pylist()
         ):
-            payload = payload or b""
-            if self.pil is not None:
-                import io
-
-                img = self.pil.open(io.BytesIO(payload))
-                w, h = img.size
-                c = len(img.getbands())
-            else:
-                w, h, c = self._fake_dims(payload)
+            w, h, c, f = self._decode(payload or b"")
             urls.append(url)
             ws.append(w)
             hs.append(h)
             cs.append(c)
-            feats.append(self._features(payload))
+            feats.append(f)
         return pa.table(
             {
                 "url": pa.array(urls, type=pa.string()),
@@ -174,6 +207,114 @@ def sample_frames(
     return ds.map_batches(
         SampleFrames,
         fn_constructor_args=(n_frames,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("sample_rate", pa.int32()),
+        ("n_samples", pa.int64()),
+        ("channels", pa.int32()),
+        ("features", pa.list_(pa.float32())),
+    ]
+)
+
+
+class DecodeAudio:
+    """binary payload -> (sample_rate, n_samples, channels,
+    features[64]).  16-bit PCM WAV is REALLY decoded (stdlib wave via
+    functions/codecs.py) and the features are 64 log-spaced rFFT
+    magnitude bands of the mono mix — a real spectral fingerprint.
+    Other formats fall back to the deterministic fake (soundfile/av are
+    not installed here); ``strict=True`` raises instead."""
+
+    def __init__(self, *, n_bands: int = 64, strict: bool = False) -> None:
+        self.n_bands = n_bands
+        self.strict = strict
+
+    def _spectral_features(self, x: np.ndarray, sr: int) -> np.ndarray:
+        mono = x.astype(np.float32).mean(axis=1)
+        if len(mono) == 0:
+            return np.zeros(self.n_bands, dtype=np.float32)
+        mag = np.abs(np.fft.rfft(mono))
+        # log-spaced band edges pool the magnitude spectrum to n_bands
+        edges = np.unique(
+            np.geomspace(1, len(mag), self.n_bands + 1).astype(np.int64)
+        )
+        sums = np.add.reduceat(mag, np.minimum(edges[:-1], len(mag) - 1))
+        out = np.zeros(self.n_bands, dtype=np.float32)
+        out[: len(sums)] = sums[: self.n_bands]
+        total = out.sum()
+        return out / total if total else out
+
+    def _fake(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
+        h = hashlib.blake2b(payload, digest_size=8).digest()
+        hist = np.bincount(
+            np.frombuffer(payload, dtype=np.uint8) % self.n_bands,
+            minlength=self.n_bands,
+        ).astype(np.float32)
+        total = hist.sum()
+        return 8000 + h[0] * 64, len(payload) // 2, 1 + h[1] % 2, (
+            hist / total if total else hist
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from dedup_ray.functions import codecs
+
+        urls, srs, ns, chs, feats = [], [], [], [], []
+        for url, payload in zip(
+            batch["url"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            payload = payload or b""
+            if codecs.sniff(payload) == "wav":
+                try:
+                    sr, x = codecs.decode_wav(payload)
+                    srs.append(sr)
+                    ns.append(len(x))
+                    chs.append(x.shape[1])
+                    feats.append(self._spectral_features(x, sr))
+                    urls.append(url)
+                    continue
+                except ValueError:
+                    pass
+            if self.strict:
+                raise NotImplementedError(
+                    "no decoder for this audio payload (only 16-bit PCM "
+                    "WAV decodes here); run with strict=False to fake"
+                )
+            sr, n, c, f = self._fake(payload)
+            urls.append(url)
+            srs.append(sr)
+            ns.append(n)
+            chs.append(c)
+            feats.append(f)
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "sample_rate": pa.array(srs, type=pa.int32()),
+                "n_samples": pa.array(ns, type=pa.int64()),
+                "channels": pa.array(chs, type=pa.int32()),
+                "features": pa.array(
+                    [f.tolist() for f in feats], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+def decode_audio(
+    ds: ray.data.Dataset, *, concurrency: int = 4, strict: bool = False
+) -> ray.data.Dataset:
+    """pages(url, payload: binary) -> AUDIO_SCHEMA rows.  Actor pool,
+    payload-size-aware batches."""
+    return ds.map_batches(
+        DecodeAudio,
+        fn_constructor_kwargs={"strict": strict},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=MEDIA_BATCH_SIZE,

@@ -131,7 +131,9 @@ def _union_codes(n: int, us: np.ndarray, vs: np.ndarray) -> np.ndarray:
 
 
 def _forest_from_pairs(us_obj: np.ndarray, vs_obj: np.ndarray) -> pa.Table:
-    """(u, v) object arrays -> (node, root) table over their union."""
+    """(u, v) object arrays -> (node, root) table over their union.
+    Node type is inferred (string urls OR int64 vec ids — min-label
+    semantics follow the natural ordering of the type)."""
     allv = np.concatenate([us_obj, vs_obj])
     if len(allv) == 0:
         return _EMPTY_FOREST
@@ -140,18 +142,18 @@ def _forest_from_pairs(us_obj: np.ndarray, vs_obj: np.ndarray) -> pa.Table:
     roots = _union_codes(len(uniq), codes[:m], codes[m:])
     return pa.table(
         {
-            "node": pa.array(uniq, type=pa.string()),
-            "root": pa.array(uniq[roots], type=pa.string()),
+            "node": pa.array(uniq.tolist()),
+            "root": pa.array(uniq[roots].tolist()),
         }
     )
 
 
-def _block_forest(batch: pa.Table) -> pa.Table:
-    if "u" not in batch.column_names:  # schema-less empty blocks pass through
+def _block_forest(batch: pa.Table, u_col: str = "u", v_col: str = "v") -> pa.Table:
+    if u_col not in batch.column_names:  # schema-less empty blocks pass through
         return _EMPTY_FOREST
     return _forest_from_pairs(
-        np.array(batch["u"].to_pylist(), dtype=object),
-        np.array(batch["v"].to_pylist(), dtype=object),
+        np.array(batch[u_col].to_pylist(), dtype=object),
+        np.array(batch[v_col].to_pylist(), dtype=object),
     )
 
 
@@ -231,37 +233,67 @@ class ForestMergeActor:
             p = p2
         inv = {c: n for n, c in self._code.items()}
         roots = [inv[int(c)] for c in p[codes]]
-        return pa.table(
-            {
-                "node": pa.array(nodes, type=pa.string()),
-                "root": pa.array(roots, type=pa.string()),
-            }
-        )
+        return pa.table({"node": pa.array(nodes), "root": pa.array(roots)})
 
 
-def connected_components(
-    edges: ray.data.Dataset, *, num_merge_actors: int | None = None
-) -> dict[str, str]:
-    """edges(u, v) -> {node: cluster_id} where cluster_id is the MIN
-    node string in the component (deterministic canonical label).
+def _finalize_components(final: pa.Table) -> pa.Table:
+    """Merged forest -> (node, cluster_id) with cluster_id = component
+    MIN node.  One factorize+compress: the forest's (node, root) pairs
+    are edges of a (possibly still multi-level) forest."""
+    empty = pa.table(
+        {
+            "node": pa.array([], type=pa.string()),
+            "cluster_id": pa.array([], type=pa.string()),
+        }
+    )
+    if final is None or len(final) == 0 or "node" not in final.column_names:
+        return empty
+    nodes = np.array(final["node"].to_pylist(), dtype=object)
+    roots_s = np.array(final["root"].to_pylist(), dtype=object)
+    uniq, codes = np.unique(np.concatenate([nodes, roots_s]), return_inverse=True)
+    m = len(nodes)
+    roots = _union_codes(len(uniq), codes[:m], codes[m:])
+    # canonical min label per component: uniq is SORTED, so the first
+    # member index per root group is the component minimum
+    order = np.argsort(roots, kind="stable")
+    rs = roots[order]
+    firsts = np.ones(len(rs), dtype=bool)
+    firsts[1:] = rs[1:] != rs[:-1]
+    seg_id = np.cumsum(firsts) - 1
+    min_idx_per_seg = order[firsts]  # stable sort: first = smallest index
+    labels_sorted = uniq[min_idx_per_seg][seg_id]
+    labels = np.empty(len(uniq), dtype=object)
+    labels[order] = labels_sorted
+    return pa.table({"node": pa.array(uniq.tolist()), "cluster_id": pa.array(labels.tolist())})
+
+
+def _components_ref(
+    edges: ray.data.Dataset,
+    *,
+    num_merge_actors: int | None = None,
+    u_col: str = "u",
+    v_col: str = "v",
+):
+    """Shared tree-reduce; returns an ObjectRef of the finalized
+    (node, cluster_id) table, or None when there are no edge blocks.
 
     Tree-reduce on an actor pool: leaf forests (one per edge block,
     built in parallel by Ray Data) are absorbed round-robin into K
     merge actors (parallel partial reduce with persistent DSU state),
     then the K actor forests tree-merge pairwise (log2 K actor-to-actor
-    handoffs through the object store).  Nodes with no edges are absent
-    (callers treat them as singletons).
-    """
-    # leaf forests: one (node, root) table per edge block, built in
-    # parallel by Ray Data, left in the object store via to_arrow_refs
+    handoffs through the object store); the final factorize + min-label
+    runs in ONE remote task — never on the driver."""
     refs = [
         r
         for r in edges.map_batches(
-            _block_forest, batch_format="pyarrow", zero_copy_batch=True
+            _block_forest,
+            fn_kwargs={"u_col": u_col, "v_col": v_col},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         ).to_arrow_refs()
     ]
     if not refs:
-        return {}
+        return None
     from dedup_ray.core import default_pool_size
 
     K = min(num_merge_actors or default_pool_size(cap=8), len(refs))
@@ -278,30 +310,52 @@ def connected_components(
             nxt.append(alive[-1])
         ray.get(futs)
         alive = nxt
-    final = ray.get(alive[0].forest.remote())
+    out = ray.remote(_finalize_components).remote(alive[0].forest.remote())
+    # pin the finalize output before killing the producing actor (an
+    # actor's objects die with it unless already materialized)
+    ray.wait([out])
     for a in actors:
         ray.kill(a)
-    if len(final) == 0 or "node" not in final.column_names:
+    return out
+
+
+def components_dataset(
+    edges: ray.data.Dataset,
+    *,
+    num_merge_actors: int | None = None,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> ray.data.Dataset:
+    """edges -> Dataset[(node, cluster_id)] — nothing on the driver.
+    The 100-TB path: at web scale the dup-incident node set is NOT
+    broadcastable, so consumers join against this dataset through the
+    hash exchange instead of a ray.put dict."""
+    ref = _components_ref(
+        edges, num_merge_actors=num_merge_actors, u_col=u_col, v_col=v_col
+    )
+    if ref is None:
+        return ray.data.from_arrow(_finalize_components(None))
+    return ray.data.from_arrow_refs([ref])
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    *,
+    num_merge_actors: int | None = None,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> dict:
+    """edges(u, v) -> {node: cluster_id} (component MIN label; node
+    type — string url or int64 vec id — preserved).  Driver-side dict
+    variant for SMALL maps (tests, embedding_dedup); the flagship uses
+    components_dataset."""
+    ref = _components_ref(
+        edges, num_merge_actors=num_merge_actors, u_col=u_col, v_col=v_col
+    )
+    if ref is None:
         return {}
-    nodes = np.array(final["node"].to_pylist(), dtype=object)
-    roots_s = np.array(final["root"].to_pylist(), dtype=object)
-    # one more factorize+compress: the merged forest's (node, root)
-    # pairs are edges of a (possibly still multi-level) forest
-    uniq, codes = np.unique(np.concatenate([nodes, roots_s]), return_inverse=True)
-    m = len(nodes)
-    roots = _union_codes(len(uniq), codes[:m], codes[m:])
-    # canonical min-url label per component: uniq is SORTED, so the
-    # first member index per root group is the component minimum
-    order = np.argsort(roots, kind="stable")
-    rs = roots[order]
-    firsts = np.ones(len(rs), dtype=bool)
-    firsts[1:] = rs[1:] != rs[:-1]
-    seg_id = np.cumsum(firsts) - 1
-    min_idx_per_seg = order[firsts]  # stable sort: first = smallest index
-    labels_sorted = uniq[min_idx_per_seg][seg_id]
-    labels = np.empty(len(uniq), dtype=object)
-    labels[order] = labels_sorted
-    return dict(zip(uniq.tolist(), labels.tolist()))
+    t = ray.get(ref)
+    return dict(zip(t["node"].to_pylist(), t["cluster_id"].to_pylist()))
 
 
 def components_table(mapping: dict[str, str]) -> pa.Table:

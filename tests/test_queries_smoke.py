@@ -23,6 +23,7 @@ EXPECT_COLS = {
     "lang_id": {"url", "lang_pred"},
     "doc_fingerprint": {"url", "n_fingerprints", "min_fingerprint"},
     "embedding_ann_lsh": {"id_a", "id_b"},
+    "embedding_ivf_topk": {"query_id", "neighbor_id", "rank"},
 }
 
 # heavy pipelines (full flagship / edge lists) are exercised by
@@ -67,3 +68,32 @@ def test_ann_lsh_subset_of_bruteforce(sf_smoke):
         recall = len(ann_set) / len(exact_set)
         print(f"\nANN recall vs brute force: {recall:.3f} ({len(ann_set)}/{len(exact_set)})")
         assert recall >= 0.9
+
+
+def test_ivf_exhaustive_matches_exact_topk(sf_smoke):
+    """IVF with n_probe == n_lists searches every list -> must equal
+    the exact brute-force top-k (same output contract)."""
+    import __ray_entry__ as m
+
+    exact = m.queries()["embedding_cosine_topk"](sf_smoke).to_pandas()
+    ivf = m.queries()["embedding_ivf_topk_exhaustive"](sf_smoke).to_pandas()
+    key = ["query_id", "rank"]
+    e = exact.sort_values(key, ignore_index=True)
+    v = ivf.sort_values(key, ignore_index=True)
+    assert e[["query_id", "neighbor_id", "rank"]].equals(
+        v[["query_id", "neighbor_id", "rank"]]
+    )
+
+
+def test_ivf_probed_recall(sf_smoke):
+    """Default probed IVF (n_probe=4 of 16 lists) must keep high top-k
+    recall vs the exact result."""
+    import __ray_entry__ as m
+
+    exact = m.queries()["embedding_cosine_topk"](sf_smoke).to_pandas()
+    ivf = m.queries()["embedding_ivf_topk"](sf_smoke).to_pandas()
+    exact_set = set(zip(exact["query_id"], exact["neighbor_id"]))
+    ivf_set = set(zip(ivf["query_id"], ivf["neighbor_id"]))
+    recall = len(ivf_set & exact_set) / len(exact_set)
+    print(f"\nIVF top-k recall vs exact: {recall:.3f}")
+    assert recall >= 0.8
