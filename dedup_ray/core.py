@@ -143,22 +143,16 @@ def partitioned_kernel(
     if not block_refs:
         return ray.data.from_arrow(empty_result)
     total_rows = mat.count()
-    # P tracks the session's parallelism (2x CPUs ~ the multi-node
-    # lever: on a real cluster CPU count grows with nodes, and the
-    # exchange's O(B x P) object count must grow WITH the cluster, not
-    # ahead of it — at P=64 on an 8-cpu session the per-object fixed
-    # costs dominate the exchange and do not parallelize).
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
+    # NOTE: adapt DOWN only on row count, never on session CPU count.
+    # Measured (2.4M-page corpus, signature-verify exchange): halving P
+    # below the configured 64 DOUBLES wall time — the reduce kernel's
+    # chunked concat+take over a 4x-larger partition loses cache
+    # locality — while P larger than configured also loses (P=128 was
+    # 1.8x slower than 64).  Small inputs still collapse to few
+    # partitions via the rows target, which is what makes the test
+    # suite fast.
     num_partitions = max(
-        1,
-        min(
-            num_partitions,
-            max(2 * cpus, 8),
-            -(-total_rows // target_rows_per_partition),
-        ),
+        1, min(num_partitions, -(-total_rows // target_rows_per_partition))
     )
 
     reduce = ray.remote(_reduce_partition)
