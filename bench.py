@@ -30,8 +30,11 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 #: large enough that per-stage compute dominates Ray's fixed
 #: orchestration costs (~1 min of setup noise would otherwise swamp
 #: the 8-vs-32 comparison)
-SCALING_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "2400000"))
-SCALING_DIR = f"/tmp/bench_pages_{SCALING_ROWS}"
+SCALING_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "1200000"))
+#: ~1600 tokens/page matches real Common-Crawl text length; the short
+#: 400-token corpus under-weights per-page compute vs exchange bytes
+SCALING_TOKENS = int(os.environ.get("BENCH_PAGES_TOKENS", "1600"))
+SCALING_DIR = f"/tmp/bench_pages_{SCALING_ROWS}_t{SCALING_TOKENS}"
 
 
 def _init_ray(num_cpus: int):
@@ -145,7 +148,9 @@ def _ensure_corpus() -> None:
     ray = _init_ray(NUM_CPUS)
     from dedup_ray.fixtures import write_pages_parquet_ray
 
-    write_pages_parquet_ray(SCALING_ROWS, SCALING_DIR, seed=1234, max_tokens=400)
+    write_pages_parquet_ray(
+        SCALING_ROWS, SCALING_DIR, seed=1234, max_tokens=SCALING_TOKENS
+    )
     ray.shutdown()
 
 
