@@ -29,8 +29,11 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 #: large enough that per-stage compute dominates Ray's fixed
 #: orchestration costs (~1 min of setup noise would otherwise swamp
-#: the 8-vs-32 comparison)
-SCALING_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "1200000"))
+#: the 8-vs-32 comparison), small enough that the 5-repeat interleaved
+#: protocol fits a session: at 1600 tokens/page the 2-cpu flagship runs
+#: ~11 min over 600k pages (~23 min over the earlier 1.2M default, which
+#: made 5 repeats a >3 h job without changing any ratio).
+SCALING_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "600000"))
 #: ~1600 tokens/page matches real Common-Crawl text length; the short
 #: 400-token corpus under-weights per-page compute vs exchange bytes
 SCALING_TOKENS = int(os.environ.get("BENCH_PAGES_TOKENS", "1600"))
@@ -178,8 +181,18 @@ def run_scaling() -> None:
         for ncpu in SCALING_LEVELS:  # interleave levels so host noise
             # affects all levels alike within a repeat
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_MODE="scaling_child")
+            # HARD-PIN the whole child process tree (driver + raylet +
+            # workers inherit the affinity mask) to exactly N cores:
+            # this is the honest emulation of an N-core node.  An
+            # unpinned ray.init(num_cpus=2) session leaks WAY past its
+            # budget — arrow/parquet threads, the raylet and the driver
+            # all run on extra host cores (measured: unpinned "2-cpu"
+            # flagship beat the 8-cpu one; pinned, the same job is
+            # 4.4x slower at 2 cores than 8) — which silently deflates
+            # the measured N->4N ratio.
+            cores = f"0-{ncpu - 1}" if ncpu > 1 else "0"
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
+                ["taskset", "-c", cores, sys.executable, os.path.abspath(__file__)],
                 env=env,
                 capture_output=True,
                 text=True,
