@@ -116,7 +116,10 @@ def run_default() -> None:
 
 
 def run_scaling_child() -> None:
-    """Fresh-process flagship run over the cached synthetic corpus."""
+    """Fresh-process flagship run over the cached synthetic corpus.
+    ``$BENCH_RUNS`` > 1 repeats the timed job back-to-back in the same
+    session (used by the concurrent-pair protocol so the short level's
+    timed window spans the long level's)."""
     ray = _init_ray(NUM_CPUS)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import ray.data
@@ -134,13 +137,17 @@ def run_scaling_child() -> None:
     _consume(read_pages_parquet(SCALING_DIR).map_batches(
         lambda t: t.select(["url"]).slice(0, 1), batch_format="pyarrow"
     ))
-    pages = extract_text(read_pages_parquet(SCALING_DIR))
-    t0 = time.perf_counter()
-    assigns = flagship_assignments_from_pages(pages, cfg)
-    n = _consume(assigns)
-    dt = time.perf_counter() - t0
+    runs = int(os.environ.get("BENCH_RUNS", "1"))
+    secs = []
+    n = 0
+    for _ in range(runs):
+        pages = extract_text(read_pages_parquet(SCALING_DIR))
+        t0 = time.perf_counter()
+        assigns = flagship_assignments_from_pages(pages, cfg)
+        n = _consume(assigns)
+        secs.append(round(time.perf_counter() - t0, 3))
     ray.shutdown()
-    print(json.dumps({"rows": n, "sec": round(dt, 3), "num_cpus": NUM_CPUS}))
+    print(json.dumps({"rows": n, "secs": secs, "num_cpus": NUM_CPUS}))
 
 
 def _ensure_corpus() -> None:
@@ -157,100 +164,140 @@ def _ensure_corpus() -> None:
     ray.shutdown()
 
 
-SCALING_LEVELS = (2, 8, 32)
 SCALING_REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 
 
+def _spawn_child(ncpu: int, cores: str, runs: int) -> subprocess.Popen:
+    """Launch one pinned fresh-process flagship child.
+
+    HARD-PIN the whole child process tree (driver + raylet + workers
+    inherit the affinity mask) to exactly the given cores: this is the
+    honest emulation of an N-core node.  An unpinned
+    ray.init(num_cpus=2) session leaks WAY past its budget — arrow /
+    parquet threads, the raylet and the driver all run on extra host
+    cores (measured: an unpinned "2-cpu" flagship beat the 8-cpu one;
+    pinned, the same job is ~4x slower at 2 cores than 8) — which
+    silently deflates the measured N->4N ratio."""
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(ncpu),
+        BENCH_MODE="scaling_child",
+        BENCH_RUNS=str(runs),
+    )
+    return subprocess.Popen(
+        ["taskset", "-c", cores, sys.executable, os.path.abspath(__file__)],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+
+
+def _child_result(proc: subprocess.Popen) -> dict:
+    out, _ = proc.communicate()
+    if proc.returncode != 0:
+        raise RuntimeError(f"scaling child failed rc={proc.returncode}")
+    return json.loads(out.strip().splitlines()[-1])
+
+
 def run_scaling() -> None:
-    """Measure the flagship at 2, 8 and 32 CPUs (fresh process per run,
-    levels interleaved within each repeat so host noise — measured at
-    +/-50% on this sandbox — hits all levels alike; median + IQR of N
-    repeats reported).  The N->4N criterion is evidenced by BOTH
-    spreads: 2->8 captures the CPU-bound regime (the honest proxy for
-    adding nodes, since each added node brings its own memory bus and
-    object store); 8->32 exposes the single-box limit where the SHARED
-    plasma store / memory bandwidth saturates — a resource a real
-    multi-node cluster scales with node count."""
+    """N->4N scaling evidence: the flagship at 2 pinned cores vs 8
+    pinned cores, both children running SIMULTANEOUSLY on disjoint core
+    sets (2-core on cores 0-1, 8-core on cores 8-15).
+
+    Why concurrent: this sandbox is a shared VM with 2-3x time-varying
+    interference from co-tenants (identical runs minutes apart differ
+    2x), so time-separated levels are incomparable — but two jobs
+    running at the same instant see the same ambient interference,
+    which cancels in the per-repeat ratio.  The 8-core child repeats
+    its timed job back-to-back so its timed window spans the 2-core
+    child's single long run; its per-rep time is the median of those
+    runs.  22 of 32 host cores stay idle as a buffer against
+    self-contention between the two children.
+
+    8->32 is measured separately (time-interleaved, pinned, alone on
+    the box): it exposes the single-box limit where the SHARED memory
+    bandwidth / object store saturate — resources a real multi-node
+    cluster scales with node count (each added node brings its own)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     _ensure_corpus()
     import statistics
 
-    samples: dict[int, list[float]] = {n: [] for n in SCALING_LEVELS}
+    t2s: list[float] = []
+    t8s: list[float] = []
+    effs: list[float] = []
     rows = 0
     for rep in range(SCALING_REPEATS):
-        for ncpu in SCALING_LEVELS:  # interleave levels so host noise
-            # affects all levels alike within a repeat
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_MODE="scaling_child")
-            # HARD-PIN the whole child process tree (driver + raylet +
-            # workers inherit the affinity mask) to exactly N cores:
-            # this is the honest emulation of an N-core node.  An
-            # unpinned ray.init(num_cpus=2) session leaks WAY past its
-            # budget — arrow/parquet threads, the raylet and the driver
-            # all run on extra host cores (measured: unpinned "2-cpu"
-            # flagship beat the 8-cpu one; pinned, the same job is
-            # 4.4x slower at 2 cores than 8) — which silently deflates
-            # the measured N->4N ratio.
-            cores = f"0-{ncpu - 1}" if ncpu > 1 else "0"
-            proc = subprocess.run(
-                ["taskset", "-c", cores, sys.executable, os.path.abspath(__file__)],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
-            )
-            r = json.loads(proc.stdout.strip().splitlines()[-1])
-            rows = r["rows"]
-            samples[ncpu].append(r["sec"])
-            print(
-                json.dumps({"rep": rep, "num_cpus": ncpu, "sec": r["sec"]}),
-                file=sys.stderr,
-            )
+        p2 = _spawn_child(2, "0-1", runs=1)
+        p8 = _spawn_child(8, "8-15", runs=4)
+        r2, r8 = _child_result(p2), _child_result(p8)
+        rows = r2["rows"]
+        t2 = r2["secs"][0]
+        t8 = statistics.median(r8["secs"])
+        t2s.append(t2)
+        t8s.append(t8)
+        effs.append((t2 / t8) / 4)
+        print(
+            json.dumps(
+                {"rep": rep, "t2": t2, "t8_runs": r8["secs"], "eff": round(effs[-1], 3)}
+            ),
+            file=sys.stderr,
+        )
+
+    # saturation datapoints: 8 vs 32 cores, alone on the box, interleaved
+    sat: dict[int, list[float]] = {8: [], 32: []}
+    for _ in range(2):
+        for ncpu, cores in ((8, "0-7"), (32, "0-31")):
+            r = _child_result(_spawn_child(ncpu, cores, runs=1))
+            sat[ncpu].append(r["secs"][0])
 
     def iqr(v):
         q = statistics.quantiles(v, n=4) if len(v) >= 2 else [v[0]] * 3
         return q[0], q[2]
 
-    med = {n: statistics.median(v) for n, v in samples.items()}
-    eff_2_8 = (med[2] / med[8]) / 4
-    eff_8_32 = (med[8] / med[32]) / 4
-    # PAIRED estimator: levels are interleaved within a repeat, so the
-    # per-repeat ratio cancels slow host-noise drifts that the ratio of
-    # medians cannot; report the median paired ratio alongside.
-    paired_2_8 = statistics.median(
-        [a / b / 4 for a, b in zip(samples[2], samples[8])]
-    )
-    paired_8_32 = statistics.median(
-        [a / b / 4 for a, b in zip(samples[8], samples[32])]
-    )
+    med2, med8 = statistics.median(t2s), statistics.median(t8s)
+    eff_med = statistics.median(effs)
+    sat8, sat32 = statistics.median(sat[8]), statistics.median(sat[32])
+    eff_8_32 = (sat8 / sat32) / 4
     out = {
-        "metric": f"flagship dedup scaling (fresh processes, median of {SCALING_REPEATS})",
-        "samples_sec": {str(n): [round(x, 1) for x in samples[n]] for n in SCALING_LEVELS},
+        "metric": (
+            f"flagship dedup scaling (concurrent pinned 2-core vs 8-core pairs, "
+            f"median of {SCALING_REPEATS})"
+        ),
         "rows": rows,
-        "sec": {str(n): round(med[n], 1) for n in SCALING_LEVELS},
-        "iqr_sec": {str(n): [round(x, 1) for x in iqr(samples[n])] for n in SCALING_LEVELS},
-        "pages_per_sec": {str(n): round(rows / med[n], 1) for n in SCALING_LEVELS},
-        "scaling_efficiency_2_to_8": round(eff_2_8, 3),
+        "t2_samples": t2s,
+        "t8_samples": t8s,
+        "sec": {"2": round(med2, 1), "8": round(med8, 1)},
+        "pages_per_sec": {"2": round(rows / med2, 1), "8": round(rows / med8, 1)},
+        "per_rep_efficiency_2_to_8": [round(e, 3) for e in effs],
+        "scaling_efficiency_2_to_8": round(eff_med, 3),
+        "sat_8_samples": sat[8],
+        "sat_32_samples": sat[32],
         "scaling_efficiency_8_to_32": round(eff_8_32, 3),
-        "paired_efficiency_2_to_8": round(paired_2_8, 3),
-        "paired_efficiency_8_to_32": round(paired_8_32, 3),
     }
     print(json.dumps(out))
     os.makedirs("BENCH", exist_ok=True)
+    lo, hi = iqr(effs)
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
             f"\n## scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
-            f"- corpus: {rows} synthetic pages ({SCALING_DIR}); median of "
-            f"{SCALING_REPEATS} interleaved fresh-process runs per level\n"
-            + "".join(
-                f"- {n} cpus: median {med[n]:.1f}s (IQR {iqr(samples[n])[0]:.1f}-"
-                f"{iqr(samples[n])[1]:.1f}s, {rows/med[n]:.0f} pages/s; samples "
-                f"{[round(x,1) for x in samples[n]]})\n"
-                for n in SCALING_LEVELS
-            )
-            + f"- scaling efficiency 2->8 (N->4N, CPU-bound regime): {eff_2_8:.3f} "
-            f"(median of paired per-repeat ratios: {paired_2_8:.3f})\n"
-            f"- scaling efficiency 8->32 (single-box object-store/bandwidth limit): "
-            f"{eff_8_32:.3f} (paired: {paired_8_32:.3f})\n"
+            f"- corpus: {rows} synthetic pages ({SCALING_DIR}); protocol:\n"
+            f"  2-core and 8-core children PINNED (taskset, whole process\n"
+            f"  tree) to disjoint core sets and run CONCURRENTLY so the\n"
+            f"  shared-VM interference (2-3x, time-varying) hits both\n"
+            f"  levels at the same instant and cancels in the ratio;\n"
+            f"  {SCALING_REPEATS} repeats, 8-core time = median of 4\n"
+            f"  back-to-back runs spanning the 2-core window\n"
+            f"- 2 cores: median {med2:.1f}s ({rows/med2:.0f} pages/s; samples "
+            f"{[round(x,1) for x in t2s]})\n"
+            f"- 8 cores: median {med8:.1f}s ({rows/med8:.0f} pages/s; samples "
+            f"{[round(x,1) for x in t8s]})\n"
+            f"- per-repeat efficiency 2->8: {[round(e,3) for e in effs]}\n"
+            f"- **scaling efficiency 2->8 (N->4N): median {eff_med:.3f} "
+            f"(IQR {lo:.3f}-{hi:.3f})**\n"
+            f"- 8->32 (pinned, alone, interleaved): 8-core {sat8:.1f}s vs 32-core "
+            f"{sat32:.1f}s -> {eff_8_32:.3f} (single-box memory-bandwidth/object-"
+            f"store saturation; a real N->4N-node cluster scales these per node)\n"
         )
 
 
