@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "quality_score": tx.quality_score,
             "lang_id": tx.lang_id,
             "doc_fingerprint": tx.doc_fingerprint,
+            "redact_text": tx.redact_text,
             # --- embedding similarity search -------------------------
             "embedding_cosine_topk": emb.cosine_topk,
             "embedding_near_pairs": emb.cosine_near_pairs,
@@ -117,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
         {
             "token_count": tx.TOKEN_COUNT_SQL,
             "quality_score": tx.QUALITY_SCORE_SQL,
+            "redact_text": tx.REDACT_TEXT_SQL,
             "embedding_cosine_topk": emb.COSINE_TOPK_SQL,
             "embedding_near_pairs": emb.COSINE_NEAR_PAIRS_SQL,
             # exhaustive IVF (n_probe == n_lists) is exact, so the

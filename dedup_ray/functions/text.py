@@ -170,3 +170,61 @@ def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
         concurrency=(1, 8),
         num_cpus=1,
     )
+
+
+# ---- PII-style redaction ------------------------------------------------
+
+#: RE2 syntax (both pyarrow.compute and DuckDB run RE2, so the Ray and
+#: SQL sides share match semantics exactly).  No lookarounds — RE2 has
+#: none.  Order of application matters and is fixed: email -> ipv4 ->
+#: phone; counts are taken on the ORIGINAL text for all three.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def redact_text(sf_dir: str) -> ray.data.Dataset:
+    """Scrub email addresses, IPv4 addresses and phone-like digit runs
+    from the text column — the PII-redaction stage of a training-data
+    pipeline.  Emits the redacted text plus per-doc match counts so a
+    downstream filter can drop high-PII documents.  Fully vectorized
+    (one RE2 pass per pattern per batch); map-only, so it streams."""
+    ds = documents_as_pages(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        text = pc.coalesce(t["text"], "")
+        n_emails = pc.cast(pc.count_substring_regex(text, pattern=_EMAIL_RE), pa.int64())
+        n_ips = pc.cast(pc.count_substring_regex(text, pattern=_IPV4_RE), pa.int64())
+        n_phones = pc.cast(pc.count_substring_regex(text, pattern=_PHONE_RE), pa.int64())
+        red = pc.replace_substring_regex(text, pattern=_EMAIL_RE, replacement="<EMAIL>")
+        red = pc.replace_substring_regex(red, pattern=_IPV4_RE, replacement="<IP>")
+        red = pc.replace_substring_regex(red, pattern=_PHONE_RE, replacement="<PHONE>")
+        return pa.table(
+            {
+                "url": t["url"],
+                "redacted": red,
+                "n_emails": n_emails,
+                "n_ips": n_ips,
+                "n_phones": n_phones,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+REDACT_TEXT_SQL = r"""
+SELECT cast(doc_id AS varchar) AS url,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(coalesce(text, ''),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g')                        AS redacted,
+       cast(length(regexp_extract_all(coalesce(text, ''),
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS bigint) AS n_emails,
+       cast(length(regexp_extract_all(coalesce(text, ''),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS bigint)         AS n_ips,
+       cast(length(regexp_extract_all(coalesce(text, ''),
+         '\+?\d[\d\- ]{7,}\d')) AS bigint)                             AS n_phones
+FROM documents
+"""

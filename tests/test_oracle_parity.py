@@ -67,3 +67,44 @@ def test_entry_smoke():
     df = to_pandas(res)
     assert len(df) >= 0
     assert "url" in df.columns and "cluster_id" in df.columns
+
+
+def test_redact_text_on_planted_pii(tmp_path):
+    """redact_text vs DuckDB on text that actually CONTAINS emails,
+    IPv4s and phone runs (the sf tables may have none, which would make
+    the generic parity test above vacuous for the regex paths)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "lang": pa.array(["en"] * 5, pa.string()),
+            "text": pa.array(
+                [
+                    "contact bob.smith+spam@mail.example.org or jo@ex.io now",
+                    "server at 10.0.255.3 then call +1 555-123 4567 after",
+                    "no pii here, just words and 3 little digits",
+                    None,
+                    "edge: a@b.cc 1.2.3.4 999999999 trailing",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(docs, str(sf / "documents.parquet"))
+
+    got = normalize(to_pandas(entrymod.queries()["redact_text"](str(sf))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = normalize(con.sql(entrymod.oracle_sql()["redact_text"]).df())
+    con.close()
+
+    assert int(got["n_emails"].sum()) == 3
+    assert int(got["n_ips"].sum()) == 2
+    assert int(got["n_phones"].sum()) >= 2
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
