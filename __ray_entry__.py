@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_shards": rel.union_shards,
         "customers_per_region": rel.customers_per_region,
         "top2_orders_per_customer": rel.top2_orders_per_customer,
+        "asof_last_click": rel.asof_last_click,
     }
     from dedup_ray.functions import text as tx
     from dedup_ray.stages import embedding as emb
@@ -110,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "union_shards": rel.UNION_SHARDS_SQL,
         "customers_per_region": rel.CUSTOMERS_PER_REGION_SQL,
         "top2_orders_per_customer": rel.TOP2_ORDERS_PER_CUSTOMER_SQL,
+        "asof_last_click": rel.ASOF_LAST_CLICK_SQL,
     }
     from dedup_ray.functions import text as tx
     from dedup_ray.stages import embedding as emb

@@ -554,3 +554,94 @@ WITH ranked AS (
 SELECT o_custkey, o_orderkey, o_totalprice, cast(rn AS bigint) AS rn
 FROM ranked WHERE rn <= 2
 """
+
+
+# ---------------------------------------------------------------- asof join
+def asof_last_click(sf_dir: str) -> ray.data.Dataset:
+    """AS-OF join (an operator Ray Data lacks natively): attribute every
+    event to the SAME user's most recent STRICTLY-PRIOR 'click' event.
+
+    Shape: one hash exchange on user_id co-locates each user's events,
+    then a globally vectorized kernel — dense-code users, build a
+    combined sort key u * span + (ts - base) (span/base from the
+    partition, product < 2^57 so it cannot overflow int64), and one
+    np.searchsorted finds each event's predecessor click; side='left'
+    gives the strict ts < semantics of the oracle's `e.ts > c.ts`.
+    No per-group Python, no sort-merge per user.
+
+    Partitioning assumption (documented per SURVEY §2): all rows of a
+    user fit one partition — user event counts are Zipf-bounded, and
+    the same skew-salting used for LSH buckets would apply if a single
+    user ever exceeded a partition."""
+    from dedup_ray.core import partitioned_kernel
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "event_type": pa.array([], pa.string()),
+            "last_click_id": pa.array([], pa.int64()),
+            "last_click_ts": pa.array([], pa.timestamp("us")),
+        }
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        is_click = pc.equal(g["event_type"], "click").to_numpy(zero_copy_only=False)
+        _, u = np.unique(users, return_inverse=True)
+        base = ts.min()
+        span = np.int64(ts.max() - base + 2)
+        key = u.astype(np.int64) * span + (ts - base)
+        ck, ce, cu = key[is_click], eid[is_click], u[is_click]
+        order = np.argsort(ck, kind="stable")
+        ck, ce, cu = ck[order], ce[order], cu[order]
+        pos = np.searchsorted(ck, key, side="left") - 1
+        valid = pos >= 0
+        same_user = np.zeros(len(key), dtype=bool)
+        same_user[valid] = cu[pos[valid]] == u[valid]
+        lc_id = np.full(len(key), -1, dtype=np.int64)
+        lc_ts = np.full(len(key), 0, dtype=np.int64)
+        lc_id[same_user] = ce[pos[same_user]]
+        lc_ts[same_user] = ck[pos[same_user]] - cu[pos[same_user]].astype(np.int64) * span + base
+        mask = pa.array(same_user)
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "ts": g["ts"],
+                "event_type": g["event_type"],
+                "last_click_id": pc.if_else(mask, pa.array(lc_id), pa.scalar(None, pa.int64())),
+                "last_click_ts": pc.if_else(
+                    mask,
+                    pa.array(lc_ts).cast(pa.timestamp("us")),
+                    pa.scalar(None, pa.timestamp("us")),
+                ),
+            }
+        )
+
+    from dedup_ray.core import numeric_key_u64
+
+    return partitioned_kernel(
+        ds,
+        lambda t: numeric_key_u64(t, ["user_id"]),
+        kernel,
+        num_partitions=16,
+        empty_result=empty,
+    )
+
+
+ASOF_LAST_CLICK_SQL = """
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       c.event_id AS last_click_id,
+       c.ts       AS last_click_ts
+FROM events e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts > c.ts
+"""

@@ -108,3 +108,50 @@ def test_redact_text_on_planted_pii(tmp_path):
     assert int(got["n_ips"].sum()) == 2
     assert int(got["n_phones"].sum()) >= 2
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_asof_last_click_edge_cases(tmp_path):
+    """asof_last_click vs DuckDB ASOF JOIN on planted edge cases: a
+    user with no clicks, an event before any click, consecutive
+    clicks chaining to each other, and cross-user isolation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def ts(s):
+        return np.datetime64(f"2024-01-01T00:00:{s:02d}", "us")
+
+    import numpy as np
+
+    events = pa.table(
+        {
+            "event_id": pa.array(list(range(8)), pa.int64()),
+            "ts": pa.array([ts(i) for i in [1, 2, 3, 4, 5, 1, 2, 3]], pa.timestamp("us")),
+            "user_id": pa.array([7, 7, 7, 7, 7, 9, 9, 9], pa.int64()),
+            "event_type": pa.array(
+                ["view", "click", "view", "click", "purchase",  # user 7
+                 "view", "view", "purchase"],                    # user 9: no clicks
+                pa.string(),
+            ),
+            "value": pa.array([0.0] * 8, pa.float64()),
+            "props": pa.array(["{}"] * 8, pa.string()),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(events, str(sf / "events.parquet"))
+
+    got = normalize(to_pandas(entrymod.queries()["asof_last_click"](str(sf))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = normalize(con.sql(entrymod.oracle_sql()["asof_last_click"]).df())
+    con.close()
+
+    by_id = got.set_index("event_id")
+    assert pd.isna(by_id.loc[0, "last_click_id"])      # before any click
+    assert by_id.loc[2, "last_click_id"] == 1          # view -> prior click
+    assert by_id.loc[3, "last_click_id"] == 1          # click -> PRIOR click (strict <)
+    assert by_id.loc[4, "last_click_id"] == 3          # purchase -> latest click
+    assert got[got.user_id == 9]["last_click_id"].isna().all()  # isolation
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
