@@ -237,9 +237,22 @@ def run_scaling() -> None:
     # large one-off tax (measured at 8 cores: 95s first run, 38s every
     # run after) that a long-running 10^12-doc job amortizes to zero —
     # the steady-state number is the honest basis for the N->4N ratio.
+    # TWO estimators per repeat (emitted side by side so future runs
+    # stay comparable to every recorded BASELINE.md entry):
+    #   cold-inclusive: first full run of each child (includes the
+    #     hypervisor first-touch page-fault tax) — the conservative
+    #     number, and the one the r02 "criterion MET" headline used;
+    #   steady-state: 2-core child's second run vs median of the
+    #     8-core child's runs 2..N — the long-running-job number.
+    #     Steady-state can exceed 1.0 here because the 2-core child's
+    #     single steady run retains relatively more warm state (page
+    #     tables, plasma arena) than the 8-core median over 7 runs
+    #     whose arena keeps growing; treat >1.0 as "saturated", not as
+    #     superlinear hardware.
     t2s: list[float] = []
     t8s: list[float] = []
     effs: list[float] = []
+    effs_cold: list[float] = []
     rows = 0
     for rep in range(SCALING_REPEATS):
         p2 = _spawn_child(2, "0-1", runs=2)
@@ -251,9 +264,16 @@ def run_scaling() -> None:
         t2s.append(t2)
         t8s.append(t8)
         effs.append((t2 / t8) / 4)
+        effs_cold.append((r2["secs"][0] / r8["secs"][0]) / 4)
         print(
             json.dumps(
-                {"rep": rep, "t2": t2, "t8_runs": r8["secs"], "eff": round(effs[-1], 3)}
+                {
+                    "rep": rep,
+                    "t2_runs": r2["secs"],
+                    "t8_runs": r8["secs"],
+                    "eff_steady": round(effs[-1], 3),
+                    "eff_cold": round(effs_cold[-1], 3),
+                }
             ),
             file=sys.stderr,
         )
@@ -271,6 +291,7 @@ def run_scaling() -> None:
 
     med2, med8 = statistics.median(t2s), statistics.median(t8s)
     eff_med = statistics.median(effs)
+    eff_cold_med = statistics.median(effs_cold)
     sat8, sat32 = statistics.median(sat[8]), statistics.median(sat[32])
     eff_8_32 = (sat8 / sat32) / 4
     out = {
@@ -283,8 +304,10 @@ def run_scaling() -> None:
         "t8_samples": t8s,
         "sec": {"2": round(med2, 1), "8": round(med8, 1)},
         "pages_per_sec": {"2": round(rows / med2, 1), "8": round(rows / med8, 1)},
-        "per_rep_efficiency_2_to_8": [round(e, 3) for e in effs],
-        "scaling_efficiency_2_to_8": round(eff_med, 3),
+        "per_rep_efficiency_2_to_8_steady": [round(e, 3) for e in effs],
+        "per_rep_efficiency_2_to_8_cold": [round(e, 3) for e in effs_cold],
+        "scaling_efficiency_2_to_8_steady": round(eff_med, 3),
+        "scaling_efficiency_2_to_8_cold": round(eff_cold_med, 3),
         "sat_8_samples": sat[8],
         "sat_32_samples": sat[32],
         "scaling_efficiency_8_to_32": round(eff_8_32, 3),
@@ -292,6 +315,7 @@ def run_scaling() -> None:
     print(json.dumps(out))
     os.makedirs("BENCH", exist_ok=True)
     lo, hi = iqr(effs)
+    lo_c, hi_c = iqr(effs_cold)
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
             f"\n## scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
@@ -300,18 +324,23 @@ def run_scaling() -> None:
             f"  tree) to disjoint core sets and run CONCURRENTLY so the\n"
             f"  shared-VM interference (2-3x, time-varying) hits both\n"
             f"  levels at the same instant and cancels in the ratio;\n"
-            f"  {SCALING_REPEATS} repeats; STEADY-STATE timing (each\n"
-            f"  child's first full run is discarded warm-up — the\n"
-            f"  hypervisor's ~200us first-touch page faults are a one-off\n"
-            f"  tax a long-running job amortizes); 8-core time = median\n"
-            f"  of 7 back-to-back steady runs spanning the 2-core window\n"
-            f"- 2 cores: median {med2:.1f}s ({rows/med2:.0f} pages/s; samples "
-            f"{[round(x,1) for x in t2s]})\n"
-            f"- 8 cores: median {med8:.1f}s ({rows/med8:.0f} pages/s; samples "
-            f"{[round(x,1) for x in t8s]})\n"
-            f"- per-repeat efficiency 2->8: {[round(e,3) for e in effs]}\n"
-            f"- **scaling efficiency 2->8 (N->4N): median {eff_med:.3f} "
-            f"(IQR {lo:.3f}-{hi:.3f})**\n"
+            f"  {SCALING_REPEATS} repeats; BOTH estimators reported:\n"
+            f"  cold-inclusive (first full run of each child, includes the\n"
+            f"  hypervisor's ~200us first-touch page-fault tax) and\n"
+            f"  steady-state (2-core second run vs 8-core median of runs\n"
+            f"  2..8 — the long-running-job number; can exceed 1.0 when\n"
+            f"  warm-state retention favors the single steady 2-core run)\n"
+            f"- 2 cores: median steady {med2:.1f}s ({rows/med2:.0f} pages/s; "
+            f"samples {[round(x,1) for x in t2s]})\n"
+            f"- 8 cores: median steady {med8:.1f}s ({rows/med8:.0f} pages/s; "
+            f"samples {[round(x,1) for x in t8s]})\n"
+            f"- per-repeat efficiency 2->8 cold-inclusive: "
+            f"{[round(e,3) for e in effs_cold]}\n"
+            f"- per-repeat efficiency 2->8 steady-state: "
+            f"{[round(e,3) for e in effs]}\n"
+            f"- **scaling efficiency 2->8 (N->4N): cold-inclusive median "
+            f"{eff_cold_med:.3f} (IQR {lo_c:.3f}-{hi_c:.3f}); steady-state "
+            f"median {eff_med:.3f} (IQR {lo:.3f}-{hi:.3f})**\n"
             f"- 8->32 (pinned, alone, interleaved): 8-core {sat8:.1f}s vs 32-core "
             f"{sat32:.1f}s -> {eff_8_32:.3f} (single-box memory-bandwidth/object-"
             f"store saturation; a real N->4N-node cluster scales these per node)\n"

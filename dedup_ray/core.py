@@ -168,14 +168,18 @@ def partitioned_kernel(
         return ray.data.from_arrow_refs(
             [reduce.remote(kernel, empty_result, *block_refs)]
         )
-    # Coalesce input blocks into ~2 split tasks per core: the exchange
+    # Coalesce input blocks into at most 64 split tasks: the exchange
     # creates G x P plasma objects and each reduce resolves G refs, so
     # G (not B) must stay bounded — a map stage at batch_size 2048
     # yields hundreds of blocks, and B x P small objects bottleneck on
     # the single-threaded object store (anti-scaling measured at 8+
-    # cpus).  G scales with cluster cores, preserving split parallelism
-    # on a multi-node cluster.
-    n_split = default_pool_size(cap=64) * 2
+    # cpus).  G is derived DETERMINISTICALLY from the block count, NOT
+    # from the session CPU count: the grouping fixes the row order each
+    # reduce kernel sees, and a CPU-dependent G would make any
+    # tie-sensitive kernel's output vary with host core count (against
+    # the determinism-everywhere rule).  64 preserves split parallelism
+    # up to 32 cores / multi-node while keeping G x P bounded.
+    n_split = min(64, len(block_refs))
     groups = [block_refs[i::n_split] for i in range(min(n_split, len(block_refs)))]
     split = ray.remote(num_returns=num_partitions)(_split_block)
     split_refs = [

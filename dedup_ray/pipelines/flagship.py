@@ -74,7 +74,9 @@ def _nk_kernel(g: pa.Table) -> pa.Table:
     return pa.table({"node": g["node"].take(idx), "rank": g["rank"].take(idx)})
 
 
-def _node_kinds_ds(edges: ray.data.Dataset) -> ray.data.Dataset:
+def _node_kinds_ds(
+    edges: ray.data.Dataset, *, num_partitions: int = 64
+) -> ray.data.Dataset:
     """Best (lowest-rank) incident edge kind per node, as a DATASET —
     reduced by a vectorized partition kernel over a hash exchange and
     consumed by the assignment exchange below; never collected."""
@@ -85,7 +87,7 @@ def _node_kinds_ds(edges: ray.data.Dataset) -> ray.data.Dataset:
         rows,
         lambda t: hash_strings_u64(t["node"].to_pylist()),
         _nk_kernel,
-        num_partitions=16,
+        num_partitions=num_partitions,
         empty_result=_NK_EMPTY,
     )
 
@@ -287,7 +289,7 @@ def cluster_and_assign(
 
     edges = edges.materialize()  # consumed twice (components + kinds)
     cc = components_dataset(edges)
-    kinds = _node_kinds_ds(edges)
+    kinds = _node_kinds_ds(edges, num_partitions=cfg.num_partitions)
 
     slim_cols = [
         "url",

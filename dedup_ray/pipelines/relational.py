@@ -539,7 +539,7 @@ def top2_orders_per_customer(sf_dir: str) -> ray.data.Dataset:
         ds,
         lambda t: t["o_custkey"].to_numpy(zero_copy_only=False).astype("uint64"),
         kernel,
-        num_partitions=16,
+        num_partitions=64,
         empty_result=empty,
     )
 
@@ -562,12 +562,16 @@ def asof_last_click(sf_dir: str) -> ray.data.Dataset:
     event to the SAME user's most recent STRICTLY-PRIOR 'click' event.
 
     Shape: one hash exchange on user_id co-locates each user's events,
-    then a globally vectorized kernel — dense-code users, build a
-    combined sort key u * span + (ts - base) (span/base from the
-    partition, product < 2^57 so it cannot overflow int64), and one
-    np.searchsorted finds each event's predecessor click; side='left'
-    gives the strict ts < semantics of the oracle's `e.ts > c.ts`.
-    No per-group Python, no sort-merge per user.
+    then a globally vectorized kernel — dense-code users AND dense-rank
+    timestamps (r = index of ts among the partition's unique ts), build
+    a combined sort key u * span + r with span = n_unique_ts + 1, and
+    one np.searchsorted finds each event's predecessor click;
+    side='left' gives the strict ts < semantics of the oracle's
+    `e.ts > c.ts`.  Rank-coding bounds the key by n_users * (rows + 1)
+    <= rows^2 < 2^62 for any partition that fits memory — the raw
+    microsecond-span key could silently wrap int64 at scale (user count
+    2^16+ x multi-year us span ~ 2^48 exceeds 2^63).  No per-group
+    Python, no sort-merge per user.
 
     Partitioning assumption (documented per SURVEY §2): all rows of a
     user fit one partition — user event counts are Zipf-bounded, and
@@ -594,14 +598,25 @@ def asof_last_click(sf_dir: str) -> ray.data.Dataset:
         users = g["user_id"].to_numpy(zero_copy_only=False)
         ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         eid = g["event_id"].to_numpy(zero_copy_only=False)
-        is_click = pc.equal(g["event_type"], "click").to_numpy(zero_copy_only=False)
+        # NULL event_type must read as non-click (the oracle's WHERE
+        # drops it); a null-propagating equal() would poison the mask
+        is_click = pc.fill_null(
+            pc.equal(g["event_type"], "click"), False
+        ).to_numpy(zero_copy_only=False)
         _, u = np.unique(users, return_inverse=True)
-        base = ts.min()
-        span = np.int64(ts.max() - base + 2)
-        key = u.astype(np.int64) * span + (ts - base)
-        ck, ce, cu = key[is_click], eid[is_click], u[is_click]
-        order = np.argsort(ck, kind="stable")
-        ck, ce, cu = ck[order], ce[order], cu[order]
+        ts_uniq = np.unique(ts)
+        span = np.int64(len(ts_uniq) + 1)
+        r = np.searchsorted(ts_uniq, ts)
+        # rank-coded composite key: strictly monotone in (user, ts) and
+        # bounded by n_users * span <= rows * (rows + 1) — cannot wrap
+        assert int(u.max(initial=0) + 1) * int(span) < 2**62
+        key = u.astype(np.int64) * span + r
+        ck, ce, cu, cts = key[is_click], eid[is_click], u[is_click], ts[is_click]
+        # secondary sort on event_id: deterministic predecessor choice
+        # even if duplicate (user, ts) click rows exist (input-order
+        # independence — CLAUDE.md determinism rule)
+        order = np.lexsort((ce, ck))
+        ck, ce, cu, cts = ck[order], ce[order], cu[order], cts[order]
         pos = np.searchsorted(ck, key, side="left") - 1
         valid = pos >= 0
         same_user = np.zeros(len(key), dtype=bool)
@@ -609,7 +624,7 @@ def asof_last_click(sf_dir: str) -> ray.data.Dataset:
         lc_id = np.full(len(key), -1, dtype=np.int64)
         lc_ts = np.full(len(key), 0, dtype=np.int64)
         lc_id[same_user] = ce[pos[same_user]]
-        lc_ts[same_user] = ck[pos[same_user]] - cu[pos[same_user]].astype(np.int64) * span + base
+        lc_ts[same_user] = cts[pos[same_user]]
         mask = pa.array(same_user)
         return pa.table(
             {
@@ -632,7 +647,7 @@ def asof_last_click(sf_dir: str) -> ray.data.Dataset:
         ds,
         lambda t: numeric_key_u64(t, ["user_id"]),
         kernel,
-        num_partitions=16,
+        num_partitions=64,
         empty_result=empty,
     )
 

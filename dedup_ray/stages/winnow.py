@@ -445,5 +445,10 @@ def substring_edges(
         zero_copy_batch=True,
         batch_size=cfg.batch_size,
     )
-    pairs = dedupe_anchor_pairs(anchor_candidate_pairs(anchors))
-    return verify_substring_pairs(pairs, winners, cfg)
+    pairs = dedupe_anchor_pairs(
+        anchor_candidate_pairs(anchors, num_partitions=cfg.num_partitions),
+        num_partitions=cfg.num_partitions,
+    )
+    return verify_substring_pairs(
+        pairs, winners, cfg, num_partitions=cfg.num_partitions
+    )

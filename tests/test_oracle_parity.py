@@ -124,16 +124,19 @@ def test_asof_last_click_edge_cases(tmp_path):
 
     events = pa.table(
         {
-            "event_id": pa.array(list(range(8)), pa.int64()),
-            "ts": pa.array([ts(i) for i in [1, 2, 3, 4, 5, 1, 2, 3]], pa.timestamp("us")),
-            "user_id": pa.array([7, 7, 7, 7, 7, 9, 9, 9], pa.int64()),
+            "event_id": pa.array(list(range(9)), pa.int64()),
+            "ts": pa.array(
+                [ts(i) for i in [1, 2, 3, 4, 5, 1, 2, 3, 4]], pa.timestamp("us")
+            ),
+            "user_id": pa.array([7, 7, 7, 7, 7, 9, 9, 9, 9], pa.int64()),
             "event_type": pa.array(
                 ["view", "click", "view", "click", "purchase",  # user 7
-                 "view", "view", "purchase"],                    # user 9: no clicks
+                 "view", "view", "purchase",                    # user 9: no clicks
+                 None],  # NULL event_type must read as non-click, not crash
                 pa.string(),
             ),
-            "value": pa.array([0.0] * 8, pa.float64()),
-            "props": pa.array(["{}"] * 8, pa.string()),
+            "value": pa.array([0.0] * 9, pa.float64()),
+            "props": pa.array(["{}"] * 9, pa.string()),
         }
     )
     sf = tmp_path / "sf"
