@@ -202,7 +202,14 @@ WHERE a.vec_id < b.vec_id
 
 
 def ann_lsh_pairs(
-    sf_dir: str, *, threshold: float = 0.35, n_bits: int = 4, n_tables: int = 32, seed: int = 7
+    sf_dir: str,
+    *,
+    threshold: float = 0.35,
+    n_bits: int | None = 4,
+    n_tables: int = 32,
+    seed: int = 7,
+    bucket_cap: int = 1024,
+    hot_log: list | None = None,
 ) -> ray.data.Dataset:
     """Scale-path approximate near-pair search: random-hyperplane LSH.
 
@@ -212,11 +219,29 @@ def ann_lsh_pairs(
     (1 - acos(t)/pi)^n_bits, boosted across tables to
     1 - (1 - r)^n_tables — at the default (t=0.35, 4 bits, 32 tables)
     ~0.99.  For a high threshold like 0.9 the per-table recall is much
-    higher, so fewer/wider tables suffice; n_bits must grow with log of
-    corpus size to keep buckets bounded (2^bits buckets per table).
+    higher, so fewer/wider tables suffice.  ``n_bits=None`` derives the
+    width from the corpus row count (parquet-metadata count, no scan)
+    so buckets stay ~256 rows in expectation; raising n_bits lowers
+    per-table recall, so n_tables should grow with it.
     Slim shuffle rows (table, bucket, id, vector); no broadcast of the
     corpus.
+
+    Skew guard (same shape as the text path, lsh.fused_candidate_pairs):
+    a bucket larger than ``bucket_cap`` (duplicated embeddings, zero
+    vectors, a degenerate hyperplane draw) would cost O(L^2) exact
+    cosines; instead it is SALTED into sub-buckets of at most cap rows
+    by a stable mix(vec_id), all-pairs runs within each sub-bucket,
+    cross-salt connectivity is recovered through all-pairs over the
+    per-salt representatives, and a LOG ROW per capped bucket is
+    emitted (collected into ``hot_log`` and warned — never silent).
+    Within a hot bucket the non-rep cross-salt pairs are dropped; the
+    other n_tables-1 tables re-offer them, and for the clustering
+    consumer (embedding_dedup) the rep edges preserve connectivity
+    exactly like the text-LSH star topology.
     """
+    if n_bits is None:
+        n_rows = _read_embeddings(sf_dir).count()
+        n_bits = max(4, int(np.ceil(np.log2(max(1, n_rows / 256)))))
     rng = np.random.Generator(np.random.PCG64(seed))
     planes = rng.standard_normal((n_tables, n_bits, 64))
     p_ref = ray.put(planes)
@@ -352,18 +377,22 @@ def ann_lsh_pairs(
         empty_result=attach_empty,
     )
 
-    pairs_empty = pa.table(
+    kernel_empty = pa.table(
         {
             "id_a": pa.array([], type=pa.int64()),
             "id_b": pa.array([], type=pa.int64()),
+            "meta": pa.array([], type=pa.int32()),
         }
     )
 
     def within_kernel(g: pa.Table) -> pa.Table:
         """All buckets of this partition at once: segment by (tbl,
-        bucket), per-segment exact cosine via one matmul."""
+        bucket), per-segment exact cosine via one matmul.  Buckets
+        larger than bucket_cap are salted (see docstring); each emits
+        a meta=1 log row (id_a=bucket size, id_b=table)."""
         k = numeric_key_u64(g, ["tbl", "bucket"])
         ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        tbl_col = g["tbl"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, k))
         starts, lens = segments(k[order])
         vec_sorted = g["vec"].take(pa.array(order))
@@ -371,35 +400,125 @@ def ann_lsh_pairs(
         dim = dim_bytes // 8
         mats = binary_to_u64_matrix(vec_sorted, dim).view(np.float64)
         ids_s = ids[order]
+        tbls_s = tbl_col[order]
         out_a, out_b = [], []
+        log_sizes, log_tbls = [], []
+
+        def all_pairs(m: np.ndarray, seg_ids: np.ndarray) -> None:
+            L = len(seg_ids)
+            if L < 2:
+                return
+            cos = m @ m.T
+            iu, jv = np.triu_indices(L, k=1)
+            keep = cos[iu, jv] >= threshold
+            if not keep.any():
+                return
+            a, b = seg_ids[iu[keep]], seg_ids[jv[keep]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+
         for s, L in zip(starts.tolist(), lens.tolist()):
             if L < 2:
                 continue
             m = mats[s : s + L]
             seg_ids = ids_s[s : s + L]
-            cos = m @ m.T
-            iu, jv = np.triu_indices(L, k=1)
-            keep = cos[iu, jv] >= threshold
-            if not keep.any():
+            if L <= bucket_cap:
+                all_pairs(m, seg_ids)
                 continue
-            a, b = seg_ids[iu[keep]], seg_ids[jv[keep]]
-            out_a.append(np.minimum(a, b))
-            out_b.append(np.maximum(a, b))
-        if not out_a:
-            return pairs_empty
+            # hot bucket: salt into <=cap sub-buckets, all-pairs within
+            # each, all-pairs across the per-salt representatives
+            n_salts = -(-L // bucket_cap)
+            log_sizes.append(L)
+            log_tbls.append(int(tbls_s[s]))
+            from dedup_ray.util import splitmix64
+
+            salts = (
+                splitmix64(seg_ids.view(np.uint64)) % np.uint64(n_salts)
+            ).astype(np.int64)
+            order2 = np.lexsort((seg_ids, salts))
+            seg_ids2, m2 = seg_ids[order2], m[order2]
+            s2, l2 = segments(salts[order2])
+            rep_rows = []
+            for ss, LL in zip(s2.tolist(), l2.tolist()):
+                all_pairs(m2[ss : ss + LL], seg_ids2[ss : ss + LL])
+                rep_rows.append(ss)
+            rep_rows = np.array(rep_rows, dtype=np.int64)
+            all_pairs(m2[rep_rows], seg_ids2[rep_rows])
+        n_pairs = sum(len(p) for p in out_a)
+        n_logs = len(log_sizes)
+        if n_pairs == 0 and n_logs == 0:
+            return kernel_empty
+        a_out = np.concatenate(
+            (out_a if out_a else [])
+            + ([np.array(log_sizes, dtype=np.int64)] if n_logs else [])
+        )
+        b_out = np.concatenate(
+            (out_b if out_b else [])
+            + ([np.array(log_tbls, dtype=np.int64)] if n_logs else [])
+        )
+        meta = np.concatenate(
+            [np.zeros(n_pairs, dtype=np.int32), np.ones(n_logs, dtype=np.int32)]
+        )
         return pa.table(
             {
-                "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
-                "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "id_a": pa.array(a_out, type=pa.int64()),
+                "id_b": pa.array(b_out, type=pa.int64()),
+                "meta": pa.array(meta, type=pa.int32()),
             }
         )
 
-    pairs = partitioned_kernel(
+    fused = partitioned_kernel(
         attached,
         lambda t: numeric_key_u64(t, ["tbl", "bucket"]),
         within_kernel,
         num_partitions=32,
-        empty_result=pairs_empty,
+        empty_result=kernel_empty,
+    )
+
+    pairs_empty = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+        }
+    )
+    import pyarrow.compute as _pc
+
+    # log stream: filtered DISTRIBUTEDLY first, so only the (tiny: one
+    # row per capped bucket) log ever reaches the driver
+    log_rows = fused.map_batches(
+        lambda t: t.filter(_pc.equal(t["meta"], 1)).select(["id_a", "id_b"])
+        if "meta" in t.column_names
+        else pairs_empty,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    import logging
+
+    logger = logging.getLogger(__name__)
+    for b in log_rows.iter_batches(batch_format="pyarrow", batch_size=65536):
+        if "id_a" not in b.column_names:
+            continue
+        for size, tbl in zip(b["id_a"].to_pylist(), b["id_b"].to_pylist()):
+            entry = {
+                "table": tbl,
+                "bucket_size": size,
+                "n_salts": -(-size // bucket_cap),
+            }
+            if hot_log is not None:
+                hot_log.append(entry)
+            logger.warning(
+                "ann_lsh hot bucket salted: table=%d size=%d cap=%d "
+                "(raise n_bits to shrink buckets)",
+                tbl,
+                size,
+                bucket_cap,
+            )
+    pairs = fused.map_batches(
+        lambda t: t.filter(_pc.equal(t["meta"], 0)).select(["id_a", "id_b"])
+        if "meta" in t.column_names
+        else pairs_empty,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
     # dedupe across tables: hash aggregate (vectorized) — NOT map_groups,

@@ -97,3 +97,66 @@ def test_ivf_probed_recall(sf_smoke):
     recall = len(ivf_set & exact_set) / len(exact_set)
     print(f"\nIVF top-k recall vs exact: {recall:.3f}")
     assert recall >= 0.8
+
+
+def _write_embeddings(tmp_path, vectors, ids=None):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vectors = np.asarray(vectors, dtype=np.float32)
+    n = len(vectors)
+    ids = list(range(n)) if ids is None else ids
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vectors], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir(exist_ok=True)
+    pq.write_table(tbl, str(sf / "embeddings.parquet"))
+    return str(sf)
+
+
+def test_ann_lsh_hot_bucket_salted_logged_and_connected(tmp_path):
+    """A bucket above bucket_cap (40 identical embeddings) must be
+    salted — logged in hot_log, never silent — while the emitted pairs
+    still connect every member of the duplicate group (within-salt
+    all-pairs + cross-salt representative pairs, the text-LSH star
+    shape)."""
+    import numpy as np
+
+    from dedup_ray.stages.embedding import ann_lsh_pairs
+    from dedup_ray.state.unionfind import connected_components
+
+    rng = np.random.Generator(np.random.PCG64(42))
+    dup = np.tile(rng.standard_normal(64), (40, 1))  # one hot group
+    others = rng.standard_normal((10, 64))
+    sf = _write_embeddings(tmp_path, np.vstack([dup, others]))
+
+    log: list = []
+    pairs = ann_lsh_pairs(sf, threshold=0.9, bucket_cap=8, hot_log=log)
+    assert log, "hot bucket was not logged"
+    assert all(e["bucket_size"] > 8 and e["n_salts"] >= 2 for e in log)
+
+    mapping = connected_components(pairs, u_col="id_a", v_col="id_b")
+    clusters = {mapping[i] for i in range(40)}
+    assert clusters == {0}, f"dup group fragmented: {clusters}"
+
+
+def test_ann_lsh_auto_n_bits(tmp_path):
+    """n_bits=None derives the table width from the corpus row count
+    (>= 4 always; grows with log2(n))."""
+    import numpy as np
+
+    from dedup_ray.stages.embedding import ann_lsh_pairs
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    sf = _write_embeddings(tmp_path, rng.standard_normal((50, 64)))
+    # must run clean and produce only valid subset pairs at tiny n
+    df = ann_lsh_pairs(sf, n_bits=None).to_pandas()
+    assert ((df["id_a"] < df["id_b"]) | df.empty).all()
