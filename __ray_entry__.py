@@ -69,6 +69,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }
     )
     q["embedding_dedup"] = emb.embedding_dedup
+    # scale-path variant: LSH-sourced pairs (no driver collect, no
+    # corpus broadcast) — approximate, so rows-only + pytest agreement
+    # vs the exact-source clustering (test_embedding_dedup_sources.py)
+    q["embedding_dedup_ann"] = lambda sf: emb.embedding_dedup(
+        sf, pairs_source="ann_lsh"
+    )
     from dedup_ray.stages import ivf
 
     # IVF with n_probe == n_lists is exhaustive -> exact top-k, so it

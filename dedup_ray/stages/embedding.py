@@ -21,6 +21,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from dedup_ray.core import segments
+
 
 def _read_embeddings(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(
@@ -199,6 +201,66 @@ FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
 """
+
+
+def _allpairs_into(
+    m: np.ndarray,
+    seg_ids: np.ndarray,
+    threshold: float,
+    out_a: list,
+    out_b: list,
+) -> None:
+    """Exact cosine all-pairs >= threshold over one co-located segment
+    (one matmul); appends canonical (min, max) id pairs."""
+    L = len(seg_ids)
+    if L < 2:
+        return
+    cos = m @ m.T
+    iu, jv = np.triu_indices(L, k=1)
+    keep = cos[iu, jv] >= threshold
+    if not keep.any():
+        return
+    a, b = seg_ids[iu[keep]], seg_ids[jv[keep]]
+    out_a.append(np.minimum(a, b))
+    out_b.append(np.maximum(a, b))
+
+
+def _segment_pairs_capped(
+    m: np.ndarray,
+    seg_ids: np.ndarray,
+    threshold: float,
+    bucket_cap: int,
+    out_a: list,
+    out_b: list,
+) -> bool:
+    """One bucket/list segment -> near pairs, with the skew guard
+    shared by the hyperplane-LSH and IVF pair sources (same shape as
+    the text path, lsh.fused_candidate_pairs): a segment above
+    ``bucket_cap`` is SALTED into sub-groups of <= cap rows by a stable
+    mix(vec_id), all-pairs runs within each sub-group, and cross-salt
+    connectivity is recovered through all-pairs over the per-salt
+    representatives.  Returns True when the segment was salted (the
+    caller emits a log row — skew is never silent)."""
+    L = len(seg_ids)
+    if L <= bucket_cap:
+        _allpairs_into(m, seg_ids, threshold, out_a, out_b)
+        return False
+    from dedup_ray.util import splitmix64
+
+    n_salts = -(-L // bucket_cap)
+    salts = (splitmix64(seg_ids.view(np.uint64)) % np.uint64(n_salts)).astype(
+        np.int64
+    )
+    order2 = np.lexsort((seg_ids, salts))
+    seg_ids2, m2 = seg_ids[order2], m[order2]
+    s2, l2 = segments(salts[order2])
+    rep_rows = []
+    for ss, LL in zip(s2.tolist(), l2.tolist()):
+        _allpairs_into(m2[ss : ss + LL], seg_ids2[ss : ss + LL], threshold, out_a, out_b)
+        rep_rows.append(ss)
+    rep_rows = np.array(rep_rows, dtype=np.int64)
+    _allpairs_into(m2[rep_rows], seg_ids2[rep_rows], threshold, out_a, out_b)
+    return True
 
 
 def ann_lsh_pairs(
@@ -404,46 +466,15 @@ def ann_lsh_pairs(
         out_a, out_b = [], []
         log_sizes, log_tbls = [], []
 
-        def all_pairs(m: np.ndarray, seg_ids: np.ndarray) -> None:
-            L = len(seg_ids)
-            if L < 2:
-                return
-            cos = m @ m.T
-            iu, jv = np.triu_indices(L, k=1)
-            keep = cos[iu, jv] >= threshold
-            if not keep.any():
-                return
-            a, b = seg_ids[iu[keep]], seg_ids[jv[keep]]
-            out_a.append(np.minimum(a, b))
-            out_b.append(np.maximum(a, b))
-
         for s, L in zip(starts.tolist(), lens.tolist()):
             if L < 2:
                 continue
-            m = mats[s : s + L]
-            seg_ids = ids_s[s : s + L]
-            if L <= bucket_cap:
-                all_pairs(m, seg_ids)
-                continue
-            # hot bucket: salt into <=cap sub-buckets, all-pairs within
-            # each, all-pairs across the per-salt representatives
-            n_salts = -(-L // bucket_cap)
-            log_sizes.append(L)
-            log_tbls.append(int(tbls_s[s]))
-            from dedup_ray.util import splitmix64
-
-            salts = (
-                splitmix64(seg_ids.view(np.uint64)) % np.uint64(n_salts)
-            ).astype(np.int64)
-            order2 = np.lexsort((seg_ids, salts))
-            seg_ids2, m2 = seg_ids[order2], m[order2]
-            s2, l2 = segments(salts[order2])
-            rep_rows = []
-            for ss, LL in zip(s2.tolist(), l2.tolist()):
-                all_pairs(m2[ss : ss + LL], seg_ids2[ss : ss + LL])
-                rep_rows.append(ss)
-            rep_rows = np.array(rep_rows, dtype=np.int64)
-            all_pairs(m2[rep_rows], seg_ids2[rep_rows])
+            salted = _segment_pairs_capped(
+                mats[s : s + L], ids_s[s : s + L], threshold, bucket_cap, out_a, out_b
+            )
+            if salted:
+                log_sizes.append(L)
+                log_tbls.append(int(tbls_s[s]))
         n_pairs = sum(len(p) for p in out_a)
         n_logs = len(log_sizes)
         if n_pairs == 0 and n_logs == 0:
@@ -533,18 +564,48 @@ def ann_lsh_pairs(
     )
 
 
-def embedding_dedup(sf_dir: str, *, threshold: float = 0.35) -> ray.data.Dataset:
+def embedding_dedup(
+    sf_dir: str,
+    *,
+    threshold: float = 0.35,
+    pairs_source: str = "exact",
+    **source_kwargs,
+) -> ray.data.Dataset:
     """Embedding-cosine near-dup CLUSTERING (the dedup variant of the
     similarity layer): near pairs above ``threshold`` -> union-find
     connected components -> every vector labeled with its component's
     MIN vec_id (singletons label themselves).
+
+    ``pairs_source`` picks the near-pair generator:
+
+    - ``"exact"`` (default, the ORACLE contract): broadcast all-pairs
+      cosine — exact but collects the full matrix on the driver, so
+      valid only while the table is small;
+    - ``"ann_lsh"``: hyperplane-LSH buckets (``ann_lsh_pairs``) — the
+      100-TB path: no driver collect, no corpus broadcast, capped +
+      salted + logged buckets; recall tuned by n_bits/n_tables;
+    - ``"ivf"``: IVF coarse-quantizer lists (``ivf.ivf_near_pairs``) —
+      the other scale path; recall tuned by n_lists/n_probe.
+
+    ``source_kwargs`` pass through to the chosen source.  Clustering is
+    identical across sources; only pair RECALL differs (tested >= 0.98
+    agreement on the fixtures, tests/test_embedding_dedup_sources.py).
 
     The cluster map covers only pair-incident vectors (tiny vs corpus)
     and is broadcast via ray.put into a stateless vectorized relabel —
     same join-free shape as the flagship's cluster_assign."""
     from dedup_ray.state.unionfind import connected_components
 
-    pairs = cosine_near_pairs(sf_dir, threshold=threshold)
+    if pairs_source == "exact":
+        pairs = cosine_near_pairs(sf_dir, threshold=threshold, **source_kwargs)
+    elif pairs_source == "ann_lsh":
+        pairs = ann_lsh_pairs(sf_dir, threshold=threshold, **source_kwargs)
+    elif pairs_source == "ivf":
+        from dedup_ray.stages.ivf import ivf_near_pairs
+
+        pairs = ivf_near_pairs(sf_dir, threshold=threshold, **source_kwargs)
+    else:
+        raise ValueError(f"unknown pairs_source: {pairs_source!r}")
     mapping = connected_components(pairs, u_col="id_a", v_col="id_b")
     if mapping:
         keys = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))

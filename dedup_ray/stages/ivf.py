@@ -288,3 +288,190 @@ import functools
 def _worker_obj(ref):
     """Per-worker broadcast fetch (ray.put once, read per worker)."""
     return ray.get(ref)
+
+
+_PAIRS_META_EMPTY = pa.table(
+    {
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64()),
+        "meta": pa.array([], type=pa.int32()),
+    }
+)
+
+_PAIRS_EMPTY = pa.table(
+    {
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def ivf_near_pairs(
+    sf_dir: str,
+    *,
+    threshold: float = 0.35,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    seed: int = 13,
+    bucket_cap: int = 4096,
+    hot_log: list | None = None,
+) -> ray.data.Dataset:
+    """IVF-sourced near-pair generation — the coarse-quantizer
+    counterpart to ``embedding.ann_lsh_pairs``, used as the ``"ivf"``
+    pair source of ``embedding_dedup``.
+
+    Each vector fans out to its ``n_probe`` nearest lists (stable
+    argsort, ties to the lowest list id), so a pair is found iff the
+    two vectors SHARE at least one probed list — multi-probe is the
+    recall knob (n_probe=1 misses pairs straddling a Voronoi boundary).
+    Recall scales with threshold: at tight near-dup thresholds (~0.9)
+    the two vectors of a pair almost always share their nearest cell
+    and small n_probe suffices; at loose thresholds (0.35) n_probe must
+    be a sizable fraction of n_lists (measured at sf0.001/16 lists:
+    n_probe 4 -> 0.92 pair recall, 6 -> 1.0) — prefer the ann_lsh
+    source when the threshold is loose.
+    Slim (list_id, vec_id, vec) rows ride ONE list_id hash exchange;
+    exact cosine runs within each list via the shared capped/salted
+    segment kernel (``embedding._segment_pairs_capped``) so a skewed
+    list (duplicated embeddings piling into one cell) is salted and
+    LOGGED, never silently quadratic.  Pairs found in several shared
+    lists are deduped by a vectorized hash aggregate.
+
+    Volume note: the exchange moves n_probe x vector volume — the IVF
+    analog of the n_tables x volume of the LSH source, typically much
+    cheaper since n_probe << n_tables."""
+    import pyarrow.compute as pc
+
+    from dedup_ray.stages.embedding import _segment_pairs_capped
+
+    cent = train_codebook(sf_dir, n_lists=n_lists, seed=seed)
+    n_probe = min(n_probe, len(cent))
+    dim = cent.shape[1]
+    c_ref = ray.put(cent)
+
+    def assign_rows(t: pa.Table) -> pa.Table:
+        from dedup_ray.util import u64_matrix_to_binary
+
+        ids, m = _batch_matrix(t)
+        nn = np.linalg.norm(m, axis=1, keepdims=True)
+        nn[nn == 0] = 1.0
+        m = np.ascontiguousarray(m / nn)
+        cb = _worker_obj(c_ref)
+        sims = m @ cb.T
+        lists = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        n = len(ids)
+        vec_bin = u64_matrix_to_binary(m.view(np.uint64))
+        rep_idx = np.repeat(np.arange(n, dtype=np.int64), n_probe)
+        return pa.table(
+            {
+                "gkey": pa.array(lists.reshape(-1), type=pa.int64()),
+                "vec_id": pa.array(ids[rep_idx], type=pa.int64()),
+                "vec": vec_bin.take(pa.array(rep_idx)),
+            }
+        )
+
+    tall = _read_embeddings(sf_dir).map_batches(
+        assign_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def list_pair_kernel(g: pa.Table) -> pa.Table:
+        """All lists of this partition at once: per-list capped/salted
+        all-pairs cosine.  Salted lists emit a meta=1 log row
+        (id_a=list size, id_b=list_id)."""
+        from dedup_ray.util import binary_to_u64_matrix
+
+        keys = g["gkey"].to_numpy(zero_copy_only=False)
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))
+        ks, ids_s = keys[order], ids[order]
+        starts, lens = segments(ks)
+        mats = binary_to_u64_matrix(g["vec"].take(pa.array(order)), dim).view(
+            np.float64
+        )
+        out_a, out_b = [], []
+        log_sizes, log_lists = [], []
+        for s, L in zip(starts.tolist(), lens.tolist()):
+            if L < 2:
+                continue
+            salted = _segment_pairs_capped(
+                mats[s : s + L], ids_s[s : s + L], threshold, bucket_cap, out_a, out_b
+            )
+            if salted:
+                log_sizes.append(L)
+                log_lists.append(int(ks[s]))
+        n_pairs = sum(len(p) for p in out_a)
+        n_logs = len(log_sizes)
+        if n_pairs == 0 and n_logs == 0:
+            return _PAIRS_META_EMPTY
+        a_out = np.concatenate(
+            (out_a if out_a else [])
+            + ([np.array(log_sizes, dtype=np.int64)] if n_logs else [])
+        )
+        b_out = np.concatenate(
+            (out_b if out_b else [])
+            + ([np.array(log_lists, dtype=np.int64)] if n_logs else [])
+        )
+        meta = np.concatenate(
+            [np.zeros(n_pairs, dtype=np.int32), np.ones(n_logs, dtype=np.int32)]
+        )
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, type=pa.int64()),
+                "id_b": pa.array(b_out, type=pa.int64()),
+                "meta": pa.array(meta, type=pa.int32()),
+            }
+        )
+
+    fused = partitioned_kernel(
+        tall,
+        lambda t: t["gkey"].to_numpy(zero_copy_only=False).view(np.uint64),
+        list_pair_kernel,
+        num_partitions=min(32, n_lists),
+        empty_result=_PAIRS_META_EMPTY,
+    )
+
+    # log stream: filtered distributedly, only the tiny per-salted-list
+    # log reaches the driver
+    import logging
+
+    logger = logging.getLogger(__name__)
+    log_rows = fused.map_batches(
+        lambda t: t.filter(pc.equal(t["meta"], 1)).select(["id_a", "id_b"])
+        if "meta" in t.column_names
+        else _PAIRS_EMPTY,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    for b in log_rows.iter_batches(batch_format="pyarrow", batch_size=65536):
+        if "id_a" not in b.column_names:
+            continue
+        for size, lid in zip(b["id_a"].to_pylist(), b["id_b"].to_pylist()):
+            entry = {
+                "list_id": lid,
+                "list_size": size,
+                "n_salts": -(-size // bucket_cap),
+            }
+            if hot_log is not None:
+                hot_log.append(entry)
+            logger.warning(
+                "ivf hot list salted: list=%d size=%d cap=%d "
+                "(raise n_lists to shrink cells)",
+                lid,
+                size,
+                bucket_cap,
+            )
+    pairs = fused.map_batches(
+        lambda t: t.filter(pc.equal(t["meta"], 0)).select(["id_a", "id_b"])
+        if "meta" in t.column_names
+        else _PAIRS_EMPTY,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    from ray.data.aggregate import Count
+
+    agg = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_n"))
+    return agg.map_batches(
+        lambda t: t.select(["id_a", "id_b"]) if "id_a" in t.column_names else t,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -24,6 +24,9 @@ EXPECT_COLS = {
     "doc_fingerprint": {"url", "n_fingerprints", "min_fingerprint"},
     "embedding_ann_lsh": {"id_a", "id_b"},
     "embedding_ivf_topk": {"query_id", "neighbor_id", "rank"},
+    # scale-path clustering (LSH pair source): covered in depth by
+    # tests/test_embedding_dedup_sources.py
+    "embedding_dedup_ann": {"vec_id", "cluster_id"},
 }
 
 # heavy pipelines (full flagship / edge lists) are exercised by
