@@ -36,24 +36,26 @@ _RANK_KIND_ARR = np.array(["exact", "minhash", "substring"], dtype=object)
 
 _NK_EMPTY = pa.table(
     {
-        "node": pa.array([], type=pa.string()),
+        "node": pa.array([], type=pa.int64()),
         "rank": pa.array([], type=pa.int32()),
     }
 )
 
 
 def _nk_rows(t: pa.Table) -> pa.Table:
-    """edges batch -> exploded (node, rank) rows, kind mapped to its
-    rank via one dictionary-encode pass (no per-row Python)."""
-    if "u" not in t.column_names or len(t) == 0:
+    """edges batch -> exploded (node_id, rank) rows, kind mapped to its
+    rank via one dictionary-encode pass (no per-row Python).  Nodes are
+    the edges' int64 ids (hashed once at ingest) — the whole node-kind
+    reduction is numeric."""
+    if "u_id" not in t.column_names or len(t) == 0:
         return _NK_EMPTY
     enc = t["kind"].combine_chunks().dictionary_encode()
     rank_of = np.array(
         [_KIND_RANK[k] for k in enc.dictionary.to_pylist()], dtype=np.int32
     )
     ranks = rank_of[enc.indices.to_numpy(zero_copy_only=False)]
-    u = t["u"].combine_chunks()
-    v = t["v"].combine_chunks()
+    u = t["u_id"].combine_chunks()
+    v = t["v_id"].combine_chunks()
     return pa.table(
         {
             "node": pa.concat_arrays([u, v]),
@@ -63,13 +65,13 @@ def _nk_rows(t: pa.Table) -> pa.Table:
 
 
 def _nk_kernel(g: pa.Table) -> pa.Table:
-    """Min rank per node — vectorized segment reduction."""
-    from dedup_ray.stages.lsh import segments_obj
+    """Min rank per node — vectorized segment reduction (int64 keys)."""
+    from dedup_ray.core import segments
 
-    nodes = np.array(g["node"].to_pylist(), dtype=object)
+    nodes = g["node"].to_numpy(zero_copy_only=False)
     ranks = g["rank"].to_numpy(zero_copy_only=False)
     order = np.lexsort((ranks, nodes))
-    starts, _lens = segments_obj(nodes[order])
+    starts, _lens = segments(nodes[order])
     idx = pa.array(order[starts])
     return pa.table({"node": g["node"].take(idx), "rank": g["rank"].take(idx)})
 
@@ -80,12 +82,12 @@ def _node_kinds_ds(
     """Best (lowest-rank) incident edge kind per node, as a DATASET —
     reduced by a vectorized partition kernel over a hash exchange and
     consumed by the assignment exchange below; never collected."""
-    from dedup_ray.core import hash_strings_u64, partitioned_kernel
+    from dedup_ray.core import partitioned_kernel
 
     rows = edges.map_batches(_nk_rows, batch_format="pyarrow", zero_copy_batch=True)
     return partitioned_kernel(
         rows,
-        lambda t: hash_strings_u64(t["node"].to_pylist()),
+        lambda t: t["node"].to_numpy(zero_copy_only=False).view(np.uint64),
         _nk_kernel,
         num_partitions=num_partitions,
         empty_result=_NK_EMPTY,
@@ -141,17 +143,16 @@ def _member_tall(t: pa.Table) -> pa.Table:
 
 
 def _map_tall(t: pa.Table) -> pa.Table:
+    """cluster-map rows: node is ALREADY the int64 ingest doc_id (the
+    labeled union-find path) — no string hashing here."""
     if "node" not in t.column_names or len(t) == 0:
         return _ASSIGN_TALL_EMPTY
-    from dedup_ray.util import hash_urls_u64
-
     n = len(t)
-    ids = hash_urls_u64(t["node"].to_pylist()).view(np.int64)
     nulls = pa.nulls(n, type=pa.string())
     z = pa.array(np.zeros(n, dtype=np.int64))
     return pa.table(
         {
-            "gkey": pa.array(ids, type=pa.int64()),
+            "gkey": t["node"],
             "slot": pa.array(np.full(n, -1, dtype=np.int32)),
             "url": nulls,
             "winner_url": nulls,
@@ -166,17 +167,15 @@ def _map_tall(t: pa.Table) -> pa.Table:
 
 
 def _kind_tall(t: pa.Table) -> pa.Table:
+    """node-kind rows: node is the int64 id from the edge columns."""
     if "node" not in t.column_names or len(t) == 0:
         return _ASSIGN_TALL_EMPTY
-    from dedup_ray.util import hash_urls_u64
-
     n = len(t)
-    ids = hash_urls_u64(t["node"].to_pylist()).view(np.int64)
     nulls = pa.nulls(n, type=pa.string())
     z = pa.array(np.zeros(n, dtype=np.int64))
     return pa.table(
         {
-            "gkey": pa.array(ids, type=pa.int64()),
+            "gkey": t["node"],
             "slot": pa.array(np.full(n, -2, dtype=np.int32)),
             "url": nulls,
             "winner_url": nulls,
@@ -288,7 +287,13 @@ def cluster_and_assign(
     from dedup_ray.state.unionfind import components_dataset
 
     edges = edges.materialize()  # consumed twice (components + kinds)
-    cc = components_dataset(edges)
+    # int-keyed labeled path: union-find over int64 edge ids with urls
+    # riding as labels -> (node:int64, cluster_id:min-url); both this
+    # and the kinds table key the assignment exchange on int64 columns
+    # (urls were hashed ONCE at ingest; no per-row string hashing here)
+    cc = components_dataset(
+        edges, u_col="u_id", v_col="v_id", label_u_col="u", label_v_col="v"
+    )
     kinds = _node_kinds_ds(edges, num_partitions=cfg.num_partitions)
 
     slim_cols = [
@@ -537,6 +542,8 @@ def _empty_edges_table():
         {
             "u": pa.array([], type=pa.string()),
             "v": pa.array([], type=pa.string()),
+            "u_id": pa.array([], type=pa.int64()),
+            "v_id": pa.array([], type=pa.int64()),
             "kind": pa.array([], type=pa.string()),
             "score": pa.array([], type=pa.float64()),
         }

@@ -68,6 +68,8 @@ _EMPTY_EDGES = pa.table(
     {
         "u": pa.array([], type=pa.string()),
         "v": pa.array([], type=pa.string()),
+        "u_id": pa.array([], type=pa.int64()),
+        "v_id": pa.array([], type=pa.int64()),
         "kind": pa.array([], type=pa.string()),
         "score": pa.array([], type=pa.float64()),
     }
@@ -593,6 +595,11 @@ def verify_pairs(
             {
                 "u": url_sorted.take(rows_u),
                 "v": url_sorted.take(rows_v),
+                # int ids ride along so downstream exchanges (node
+                # kinds, union-find, assignment) key on int64 without
+                # re-hashing the url strings per row
+                "u_id": pa.array(us_s[s[keep]], type=pa.int64()),
+                "v_id": pa.array(vs_s[s[keep]], type=pa.int64()),
                 "kind": pa.array(["minhash"] * int(keep.sum()), type=pa.string()),
                 "score": pa.array(est[keep], type=pa.float64()),
             }

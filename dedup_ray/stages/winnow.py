@@ -68,6 +68,8 @@ _EMPTY_EDGES = pa.table(
     {
         "u": pa.array([], type=pa.string()),
         "v": pa.array([], type=pa.string()),
+        "u_id": pa.array([], type=pa.int64()),
+        "v_id": pa.array([], type=pa.int64()),
         "kind": pa.array([], type=pa.string()),
         "score": pa.array([], type=pa.float64()),
     }
@@ -355,6 +357,7 @@ def verify_substring_pairs(
         texts = g["text"].to_pylist()
         urls = g["url"].to_pylist()
         out_u, out_v, out_s = [], [], []
+        out_uid, out_vid = [], []
         for s, L in zip(starts.tolist(), lens.tolist()):
             rows = order[s : s + L]
             t_u = t_v = url_u = url_v = None
@@ -408,6 +411,8 @@ def verify_substring_pairs(
             if best >= min_len:
                 out_u.append(url_u)
                 out_v.append(url_v)
+                out_uid.append(int(us_s[s]))
+                out_vid.append(int(vs_s[s]))
                 out_s.append(float(best))
         if not out_u:
             return _EMPTY_EDGES
@@ -415,6 +420,8 @@ def verify_substring_pairs(
             {
                 "u": pa.array(out_u, type=pa.string()),
                 "v": pa.array(out_v, type=pa.string()),
+                "u_id": pa.array(out_uid, type=pa.int64()),
+                "v_id": pa.array(out_vid, type=pa.int64()),
                 "kind": pa.array(["substring"] * len(out_u), type=pa.string()),
                 "score": pa.array(out_s, type=pa.float64()),
             }

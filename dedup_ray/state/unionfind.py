@@ -130,43 +130,80 @@ def _union_codes(n: int, us: np.ndarray, vs: np.ndarray) -> np.ndarray:
         p = p2
 
 
-def _forest_from_pairs(us_obj: np.ndarray, vs_obj: np.ndarray) -> pa.Table:
-    """(u, v) object arrays -> (node, root) table over their union.
-    Node type is inferred (string urls OR int64 vec ids — min-label
-    semantics follow the natural ordering of the type)."""
+_EMPTY_FOREST_LABELED = pa.table(
+    {
+        "node": pa.array([], type=pa.int64()),
+        "root": pa.array([], type=pa.int64()),
+        "label": pa.array([], type=pa.string()),
+    }
+)
+
+
+def _label_of_uniq(
+    uniq: np.ndarray, nodes: np.ndarray, labels: np.ndarray
+) -> np.ndarray:
+    """Per-unique-node label, gathered from the (node, label) pairs.
+    Vectorized: unique(nodes) + searchsorted; values of ``uniq`` absent
+    from ``nodes`` (possible only on non-invariant input) get None."""
+    un, first_idx = np.unique(nodes, return_index=True)
+    out = np.full(len(uniq), None, dtype=object)
+    if len(un):
+        pos = np.minimum(np.searchsorted(un, uniq), len(un) - 1)
+        have = un[pos] == uniq
+        out[have] = labels[first_idx[pos[have]]]
+    return out
+
+
+def _forest_from_pairs(
+    us_obj: np.ndarray,
+    vs_obj: np.ndarray,
+    labels_u: np.ndarray | None = None,
+    labels_v: np.ndarray | None = None,
+) -> pa.Table:
+    """(u, v) arrays -> (node, root[, label]) table over their union.
+    Node type is inferred (string urls OR int64 ids — min-label
+    semantics follow the natural ordering of the type).  With labels
+    (the flagship's INT-KEYED path: node = int64 doc_id, label = url)
+    every output row additionally carries the node's label; final
+    cluster ids are the component MIN LABEL instead of min node."""
     allv = np.concatenate([us_obj, vs_obj])
     if len(allv) == 0:
-        return _EMPTY_FOREST
+        return _EMPTY_FOREST if labels_u is None else _EMPTY_FOREST_LABELED
     uniq, codes = np.unique(allv, return_inverse=True)
     m = len(us_obj)
     roots = _union_codes(len(uniq), codes[:m], codes[m:])
-    return pa.table(
-        {
-            "node": pa.array(uniq.tolist()),
-            "root": pa.array(uniq[roots].tolist()),
-        }
-    )
+    cols = {
+        "node": pa.array(uniq.tolist()),
+        "root": pa.array(uniq[roots].tolist()),
+    }
+    if labels_u is not None:
+        lab = _label_of_uniq(
+            uniq, allv, np.concatenate([labels_u, labels_v])
+        )
+        cols["label"] = pa.array(lab.tolist(), type=pa.string())
+    return pa.table(cols)
 
 
-def _block_forest(batch: pa.Table, u_col: str = "u", v_col: str = "v") -> pa.Table:
+def _block_forest(
+    batch: pa.Table,
+    u_col: str = "u",
+    v_col: str = "v",
+    label_u_col: str | None = None,
+    label_v_col: str | None = None,
+) -> pa.Table:
     if u_col not in batch.column_names:  # schema-less empty blocks pass through
-        return _EMPTY_FOREST
+        return _EMPTY_FOREST if label_u_col is None else _EMPTY_FOREST_LABELED
+    if label_u_col is not None:
+        return _forest_from_pairs(
+            batch[u_col].to_numpy(zero_copy_only=False),
+            batch[v_col].to_numpy(zero_copy_only=False),
+            np.array(batch[label_u_col].to_pylist(), dtype=object),
+            np.array(batch[label_v_col].to_pylist(), dtype=object),
+        )
     return _forest_from_pairs(
         np.array(batch[u_col].to_pylist(), dtype=object),
         np.array(batch[v_col].to_pylist(), dtype=object),
     )
-
-
-@ray.remote
-def _merge_forests(a: pa.Table, b: pa.Table) -> pa.Table:
-    parts_n, parts_r = [], []
-    for t in (a, b):
-        if "node" in t.column_names and len(t):
-            parts_n.append(np.array(t["node"].to_pylist(), dtype=object))
-            parts_r.append(np.array(t["root"].to_pylist(), dtype=object))
-    if not parts_n:
-        return _EMPTY_FOREST
-    return _forest_from_pairs(np.concatenate(parts_n), np.concatenate(parts_r))
 
 
 @ray.remote
@@ -186,6 +223,7 @@ class ForestMergeActor:
         self._code: dict = {}
         self._parent: list[int] = []
         self._size: list[int] = []
+        self._label: list = []  # per-code payload (url) on the labeled path
 
     def absorb(self, t: pa.Table) -> int:
         """Union every (node, root) pair of a forest into the state.
@@ -198,9 +236,20 @@ class ForestMergeActor:
         if t is None or "node" not in t.column_names or len(t) == 0:
             return len(self._parent)
         code, parent, size = self._code, self._parent, self._size
-        nodes = np.array(t["node"].to_pylist(), dtype=object)
-        roots = np.array(t["root"].to_pylist(), dtype=object)
+        label = self._label
+        if t["node"].type == pa.int64():
+            nodes = t["node"].to_numpy(zero_copy_only=False)
+            roots = t["root"].to_numpy(zero_copy_only=False)
+        else:
+            nodes = np.array(t["node"].to_pylist(), dtype=object)
+            roots = np.array(t["root"].to_pylist(), dtype=object)
         uniq, inv = np.unique(np.concatenate([nodes, roots]), return_inverse=True)
+        if "label" in t.column_names:
+            lab_of_uniq = _label_of_uniq(
+                uniq, nodes, np.array(t["label"].to_pylist(), dtype=object)
+            )
+        else:
+            lab_of_uniq = None
         local = np.empty(len(uniq), dtype=np.int64)
         get = code.get
         for i, val in enumerate(uniq.tolist()):
@@ -209,6 +258,9 @@ class ForestMergeActor:
                 c = code[val] = len(parent)
                 parent.append(c)
                 size.append(1)
+                label.append(lab_of_uniq[i] if lab_of_uniq is not None else None)
+            elif lab_of_uniq is not None and label[c] is None:
+                label[c] = lab_of_uniq[i]
             local[i] = c
         m = len(nodes)
         us, vs = local[inv[:m]], local[inv[m:]]
@@ -228,9 +280,11 @@ class ForestMergeActor:
         return len(parent)
 
     def forest(self) -> pa.Table:
-        """Serialize state as a fully-resolved (node, root) table."""
+        """Serialize state as a fully-resolved (node, root[, label])
+        table."""
+        labeled = any(v is not None for v in self._label)
         if not self._code:
-            return _EMPTY_FOREST
+            return _EMPTY_FOREST_LABELED if labeled else _EMPTY_FOREST
         nodes = list(self._code)
         codes = np.fromiter(self._code.values(), dtype=np.int64, count=len(nodes))
         p = np.array(self._parent, dtype=np.int64)
@@ -241,12 +295,19 @@ class ForestMergeActor:
             p = p2
         inv = {c: n for n, c in self._code.items()}
         roots = [inv[int(c)] for c in p[codes]]
-        return pa.table({"node": pa.array(nodes), "root": pa.array(roots)})
+        cols = {"node": pa.array(nodes), "root": pa.array(roots)}
+        if labeled:
+            cols["label"] = pa.array(
+                [self._label[c] for c in codes.tolist()], type=pa.string()
+            )
+        return pa.table(cols)
 
 
 def _finalize_components(final: pa.Table) -> pa.Table:
     """Merged forest -> (node, cluster_id) with cluster_id = component
-    MIN node.  One factorize+compress: the forest's (node, root) pairs
+    MIN node — or, on the labeled (int-keyed) path, the component MIN
+    LABEL (min url; node stays the int64 doc_id the assignment exchange
+    keys on).  One factorize+compress: the forest's (node, root) pairs
     are edges of a (possibly still multi-level) forest."""
     empty = pa.table(
         {
@@ -256,11 +317,36 @@ def _finalize_components(final: pa.Table) -> pa.Table:
     )
     if final is None or len(final) == 0 or "node" not in final.column_names:
         return empty
-    nodes = np.array(final["node"].to_pylist(), dtype=object)
-    roots_s = np.array(final["root"].to_pylist(), dtype=object)
+    labeled = "label" in final.column_names if final is not None else False
+    if labeled:
+        nodes = final["node"].to_numpy(zero_copy_only=False)
+        roots_s = final["root"].to_numpy(zero_copy_only=False)
+    else:
+        nodes = np.array(final["node"].to_pylist(), dtype=object)
+        roots_s = np.array(final["root"].to_pylist(), dtype=object)
     uniq, codes = np.unique(np.concatenate([nodes, roots_s]), return_inverse=True)
     m = len(nodes)
     roots = _union_codes(len(uniq), codes[:m], codes[m:])
+    if labeled:
+        node_labels = _label_of_uniq(
+            uniq, nodes, np.array(final["label"].to_pylist(), dtype=object)
+        )
+        # min LABEL per component: sort (root, label), take each root
+        # segment's first label
+        order = np.lexsort((node_labels, roots))
+        rs = roots[order]
+        firsts = np.ones(len(rs), dtype=bool)
+        firsts[1:] = rs[1:] != rs[:-1]
+        seg_id = np.cumsum(firsts) - 1
+        labels_sorted = node_labels[order[firsts]][seg_id]
+        labels = np.empty(len(uniq), dtype=object)
+        labels[order] = labels_sorted
+        return pa.table(
+            {
+                "node": pa.array(uniq, type=pa.int64()),
+                "cluster_id": pa.array(labels.tolist(), type=pa.string()),
+            }
+        )
     # canonical min label per component: uniq is SORTED, so the first
     # member index per root group is the component minimum
     order = np.argsort(roots, kind="stable")
@@ -281,6 +367,8 @@ def _components_ref(
     num_merge_actors: int | None = None,
     u_col: str = "u",
     v_col: str = "v",
+    label_u_col: str | None = None,
+    label_v_col: str | None = None,
 ):
     """Shared tree-reduce; returns an ObjectRef of the finalized
     (node, cluster_id) table, or None when there are no edge blocks.
@@ -295,7 +383,12 @@ def _components_ref(
         r
         for r in edges.map_batches(
             _block_forest,
-            fn_kwargs={"u_col": u_col, "v_col": v_col},
+            fn_kwargs={
+                "u_col": u_col,
+                "v_col": v_col,
+                "label_u_col": label_u_col,
+                "label_v_col": label_v_col,
+            },
             batch_format="pyarrow",
             zero_copy_batch=True,
         ).to_arrow_refs()
@@ -333,15 +426,38 @@ def components_dataset(
     num_merge_actors: int | None = None,
     u_col: str = "u",
     v_col: str = "v",
+    label_u_col: str | None = None,
+    label_v_col: str | None = None,
 ) -> ray.data.Dataset:
     """edges -> Dataset[(node, cluster_id)] — nothing on the driver.
     The 100-TB path: at web scale the dup-incident node set is NOT
     broadcastable, so consumers join against this dataset through the
-    hash exchange instead of a ray.put dict."""
+    hash exchange instead of a ray.put dict.
+
+    INT-KEYED variant (label_u_col/label_v_col set): u_col/v_col are
+    int64 ids (ingest-hashed doc ids) and the label columns their urls;
+    the DSU then unions int64 arrays (vectorized np.unique instead of
+    object-array factorization) and the output is (node:int64,
+    cluster_id:min-url string) — ready to key a hash exchange without
+    re-hashing strings per row."""
     ref = _components_ref(
-        edges, num_merge_actors=num_merge_actors, u_col=u_col, v_col=v_col
+        edges,
+        num_merge_actors=num_merge_actors,
+        u_col=u_col,
+        v_col=v_col,
+        label_u_col=label_u_col,
+        label_v_col=label_v_col,
     )
     if ref is None:
+        if label_u_col is not None:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array([], type=pa.int64()),
+                        "cluster_id": pa.array([], type=pa.string()),
+                    }
+                )
+            )
         return ray.data.from_arrow(_finalize_components(None))
     return ray.data.from_arrow_refs([ref])
 
