@@ -195,8 +195,58 @@ def sample_pages(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_EXACT_LAYER_EMPTY = pa.table(
+    {
+        "url": pa.array([], type=pa.string()),
+        "content_sha256": pa.array([], type=pa.string()),
+        "is_exact_loser": pa.array([], type=pa.bool_()),
+    }
+)
+
+
+def dedup_full_exact_layer(sf_dir: str) -> ray.data.Dataset:
+    """SQL cross-check of the FULL flagship's embedded exact layer: the
+    assignment kernel marks exactly the exact-group losers kind='exact'
+    AND (uniform priority) non-canonical, so the per-url verdict
+    (url, content_sha256, is_exact_loser) derived from the final
+    assignment table must match the SQL winner/loser partition
+    bit-exactly — an oracle with the whole pipeline (edges, union-find,
+    assignment exchange) on the execution path, giving the otherwise
+    rows-only dedup_full a bit-exact anchor.  (The synthetic documents
+    table has no byte-identical dups, so the planted-duplicate case is
+    pinned by tests/test_exact_layer_crosscheck.py.)"""
+    out = flagship_assignments(sf_dir, DEFAULT_CONFIG, substring_pass=True)
+
+    def verdict(t: pa.Table) -> pa.Table:
+        if "kind" not in t.column_names or len(t) == 0:
+            return _EXACT_LAYER_EMPTY
+        loser = pc.and_(
+            pc.equal(t["kind"], "exact"), pc.invert(t["is_canonical"])
+        )
+        return pa.table(
+            {
+                "url": t["url"],
+                "content_sha256": t["content_sha256"],
+                "is_exact_loser": loser,
+            }
+        )
+
+    return out.map_batches(verdict, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DEDUP_FULL_EXACT_LAYER_SQL = """
+SELECT cast(doc_id AS varchar) AS url,
+       sha256(coalesce(text, '')) AS content_sha256,
+       (cast(doc_id AS varchar) <>
+        min(cast(doc_id AS varchar))
+          OVER (PARTITION BY sha256(coalesce(text, '')))) AS is_exact_loser
+FROM documents
+"""
+
+
 QUERIES = {
     "dedup_full": dedup_full,
+    "dedup_full_exact_layer": dedup_full_exact_layer,
     "simhash_hamming": simhash_hamming,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "sample_pages": sample_pages,
@@ -207,4 +257,6 @@ QUERIES = {
     "simhash_dedup": simhash_dedup,
 }
 
-ORACLE_SQL: dict[str, str] = {}
+ORACLE_SQL: dict[str, str] = {
+    "dedup_full_exact_layer": DEDUP_FULL_EXACT_LAYER_SQL,
+}
