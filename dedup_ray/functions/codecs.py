@@ -3,11 +3,18 @@ the multimodal stages in this container, where PIL/soundfile/av are not
 installed.
 
 Formats implemented from their public specifications:
-  - PNG (RFC 2083 / W3C spec): 8-bit gray / gray+alpha / RGB / RGBA,
-    non-interlaced, all five scanline filters.  Encoder writes filter-0
-    scanlines (spec-conformant; decodable by any PNG reader).
+  - PNG (RFC 2083 / W3C spec): 8-bit gray / gray+alpha / RGB / RGBA /
+    palette (PLTE), non-interlaced, all five scanline filters.  Encoder
+    writes filter-0 scanlines (spec-conformant; decodable by any PNG
+    reader).
   - BMP (BITMAPINFOHEADER, 24-bit uncompressed bottom-up).
   - WAV PCM via the stdlib ``wave`` module (16-bit).
+  - JPEG (ITU-T T.81 baseline sequential DCT): 8-bit grayscale and
+    YCbCr with 1x1/2x1/1x2/2x2 sampling factors, restart markers, DC
+    prediction + AC run-length Huffman decoding, vectorized dequant +
+    IDCT.  Encoder writes baseline 4:4:4 or 4:2:0 with the Annex K
+    quantization/Huffman tables (quality-scaled, libjpeg formula).
+    Progressive (SOF2), arithmetic coding, and 12-bit raise ValueError.
 
 These are deliberately small, deterministic implementations for the
 decode/feature stages and their tests — not general-purpose codec
@@ -37,6 +44,10 @@ def sniff(data: bytes) -> str | None:
         return "bmp"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 
@@ -50,6 +61,7 @@ def decode_png(data: bytes) -> np.ndarray:
     pos = 8
     width = height = None
     bit_depth = color_type = None
+    palette = None
     idat = []
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -60,19 +72,25 @@ def decode_png(data: bytes) -> np.ndarray:
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+            if bit_depth != 8 or (
+                color_type != 3 and color_type not in _PNG_CHANNELS
+            ):
                 raise ValueError(
                     f"unsupported PNG (depth={bit_depth}, color={color_type})"
                 )
             if interlace:
                 raise ValueError("interlaced PNG unsupported")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
             break
     if width is None or not idat:
         raise ValueError("truncated PNG")
-    ch = _PNG_CHANNELS[color_type]
+    if color_type == 3 and palette is None:
+        raise ValueError("palette PNG without PLTE")
+    ch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
     raw = zlib.decompress(b"".join(idat))
     stride = width * ch
     if len(raw) != height * (stride + 1):
@@ -110,7 +128,10 @@ def decode_png(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = line.astype(np.uint8)
-    return out.reshape(height, width, ch)
+    px = out.reshape(height, width, ch)
+    if color_type == 3:
+        px = palette[px[:, :, 0]]  # index -> RGB
+    return px
 
 
 def encode_png(arr: np.ndarray) -> bytes:
@@ -173,6 +194,561 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     header = struct.pack("<2sIHHI", b"BM", off + len(body_b), 0, 0, off)
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body_b), 2835, 2835, 0, 0)
     return header + info + body_b
+
+
+# --------------------------------------------------------------- JPEG
+
+#: zigzag scan position -> natural (row-major) coefficient index
+_ZIGZAG = np.array(
+    [
+         0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix D: FDCT F = D f D^T, IDCT
+    f = D^T F D — equivalent to T.81's scaled-cosine definition."""
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    d = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2 / 8)
+    d[0] *= np.sqrt(0.5)
+    return d.astype(np.float64)
+
+
+class _BitReader:
+    """MSB-first bit reader over an already-unstuffed byte segment."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG bitstream underrun")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map s received bits to a signed coefficient."""
+    if s == 0 or v >= (1 << (s - 1)):
+        return v
+    return v - (1 << s) + 1
+
+
+def _build_huff(counts: bytes, symbols: bytes) -> dict:
+    """DHT (BITS, HUFFVAL) -> {(code_length, code): symbol} canonical map."""
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[i]
+            i += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (height, width, channels) uint8 array
+    (channels = 1 grayscale, 3 RGB via BT.601 YCbCr conversion)."""
+    if data[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    scan_comps = None
+    scan_start = None
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[pos + 1]
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + length]
+        seg_end = pos + 2 + length
+        if marker == 0xDB:  # DQT — tables stored in zigzag order
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(
+                        body[i : i + 64], dtype=np.uint8
+                    ).astype(np.int32)
+                    i += 64
+                else:
+                    qt[tq] = np.frombuffer(
+                        body[i : i + 128], dtype=">u2"
+                    ).astype(np.int32)
+                    i += 128
+        elif marker in (0xC0, 0xC1):  # SOF0/1 — baseline/extended sequential
+            prec, height, width, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq_id = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq_id}
+                )
+            frame = (width, height, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("non-baseline JPEG (progressive/lossless) unsupported")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                i += 1
+                counts = body[i : i + 16]
+                i += 16
+                nsym = sum(counts)
+                table = _build_huff(counts, body[i : i + nsym])
+                i += nsym
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — single interleaved baseline scan
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * si], body[2 + 2 * si] >> 4, body[2 + 2 * si] & 15)
+                for si in range(ns)
+            ]
+            scan_start = seg_end
+            break
+        pos = seg_end  # APPn / COM / others skipped
+    if frame is None or scan_comps is None:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+    width, height, comps = frame
+    if len(scan_comps) != len(comps):
+        raise ValueError("multi-scan (non-interleaved) JPEG unsupported")
+    scan_tables = {cs: (td, ta) for cs, td, ta in scan_comps}
+
+    # Entropy-coded data: unstuff 0xFF00, split at restart markers.
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = scan_start
+    while p < len(data):
+        b = data[p]
+        if b == 0xFF:
+            m = data[p + 1] if p + 1 < len(data) else 0xD9
+            if m == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= m <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        p += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4):
+            raise ValueError("unsupported JPEG sampling factors")
+        if hmax % c["h"] or vmax % c["v"]:
+            raise ValueError("non-integer JPEG chroma upsampling ratio")
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+
+    blocks = {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
+    }
+    seg_iter = iter(segments)
+    reader = _BitReader(next(seg_iter))
+    pred = {c["id"]: 0 for c in comps}
+    ri = restart_interval or (mcux * mcuy)
+    mcu_index = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if mcu_index and mcu_index % ri == 0:
+                reader = _BitReader(next(seg_iter))
+                pred = {c["id"]: 0 for c in comps}
+            for c in comps:
+                td, ta = scan_tables[c["id"]]
+                dct, act = huff_dc[td], huff_ac[ta]
+                grid = blocks[c["id"]]
+                for v in range(c["v"]):
+                    for h in range(c["h"]):
+                        coefs = grid[my * c["v"] + v, mx * c["h"] + h]
+                        s = _huff_decode(reader, dct)
+                        pred[c["id"]] += _extend(reader.receive(s), s)
+                        coefs[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, act)
+                            run, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC coefficient overflow")
+                            coefs[k] = _extend(reader.receive(size), size)
+                            k += 1
+            mcu_index += 1
+
+    # Dequantize (tables are zigzag-ordered), de-zigzag, batched IDCT.
+    dct_m = _dct_matrix()
+    planes = []
+    for c in comps:
+        bz = blocks[c["id"]].astype(np.float64) * qt[c["tq"]][None, None, :]
+        bh, bw = bz.shape[:2]
+        nat = np.zeros_like(bz)
+        nat[:, :, _ZIGZAG] = bz
+        spatial = (
+            np.einsum("ij,bjk,kl->bil", dct_m.T, nat.reshape(-1, 8, 8), dct_m)
+            + 128.0
+        )
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        plane = np.repeat(plane, vmax // c["v"], axis=0)
+        plane = np.repeat(plane, hmax // c["h"], axis=1)
+        planes.append(plane[:height, :width])
+
+    if len(planes) == 1:
+        return (
+            np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+        )
+    if len(planes) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(planes)}")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+
+
+# Annex K (T.81) tables, natural (row-major) order for the quant tables.
+_Q_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+)
+_Q_CHR = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+)
+_DC_LUM_BITS = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+_DC_LUM_VALS = bytes(range(12))
+_DC_CHR_BITS = bytes([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0])
+_DC_CHR_VALS = bytes(range(12))
+_AC_LUM_BITS = bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D])
+_AC_LUM_VALS = bytes(
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]
+)
+_AC_CHR_BITS = bytes([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77])
+_AC_CHR_VALS = bytes(
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]
+)
+
+
+def _encode_huff(counts: bytes, symbols: bytes) -> dict:
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} canonical map."""
+    out = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[i]] = (code, length)
+            i += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing (T.81 B.1.1.5)."""
+
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1 bits (spec convention)."""
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _fdct_quant(plane: np.ndarray, q_nat: np.ndarray) -> np.ndarray:
+    """(bh*8, bw*8) float plane -> (bh, bw, 64) int32 zigzag quantized
+    coefficients (level-shifted, batched orthonormal FDCT)."""
+    dct_m = _dct_matrix()
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (
+        plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        - 128.0
+    )
+    coefs = np.einsum("ij,bjk,kl->bil", dct_m, blocks, dct_m.T)
+    quant = np.round(coefs.reshape(-1, 64) / q_nat[None, :].astype(np.float64))
+    return quant.astype(np.int32)[:, _ZIGZAG].reshape(bh, bw, 64)
+
+
+def _pad_to_block(plane: np.ndarray, bx: int, by: int) -> np.ndarray:
+    """Edge-replicate ``plane`` up to multiples of (by, bx)."""
+    h, w = plane.shape
+    ph = (-h) % by
+    pw = (-w) % bx
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def _emit_block(
+    bw: _BitWriter, coefs: np.ndarray, pred: int, dc_map: dict, ac_map: dict
+) -> int:
+    """Huffman-encode one zigzag coefficient vector; returns new DC pred."""
+    dc = int(coefs[0])
+    diff = dc - pred
+    s = _category(diff)
+    code, length = dc_map[s]
+    bw.write(code, length)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(coefs)[0])) if np.any(coefs[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(coefs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_map[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_map[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_map[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    *,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w[, c]) uint8 (gray or RGB) -> baseline JPEG bytes.
+
+    ``subsample=True`` writes 4:2:0 (2x2 luma blocks per MCU, chroma
+    mean-pooled); default is 4:4:4.  ``restart_interval`` > 0 writes a
+    DRI segment and RSTn markers every that many MCUs."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if nc not in (1, 3):
+        raise ValueError("encode_jpeg wants 1 (gray) or 3 (RGB) channels")
+    # libjpeg quality scaling of the Annex K tables
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q_lum = np.clip((_Q_LUM * scale + 50) // 100, 1, 255).astype(np.int32)
+    q_chr = np.clip((_Q_CHR * scale + 50) // 100, 1, 255).astype(np.int32)
+
+    f = arr.astype(np.float64)
+    if nc == 1:
+        planes = [f[:, :, 0]]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            # 2x2 mean-pool chroma (pad to even dims first)
+            cb = _pad_to_block(cb, 2, 2)
+            cr = _pad_to_block(cr, 2, 2)
+            cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean((1, 3))
+            cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qids = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coef_grids = []
+    for plane, (sh, sv), qid in zip(planes, samp, qids):
+        padded = _pad_to_block(plane, mcux * sh * 8, mcuy * sv * 8)
+        coef_grids.append(_fdct_quant(padded, q_lum if qid == 0 else q_chr))
+
+    dc_maps = [_encode_huff(_DC_LUM_BITS, _DC_LUM_VALS)]
+    ac_maps = [_encode_huff(_AC_LUM_BITS, _AC_LUM_VALS)]
+    if nc == 3:
+        dc_maps.append(_encode_huff(_DC_CHR_BITS, _DC_CHR_VALS))
+        ac_maps.append(_encode_huff(_AC_CHR_BITS, _AC_CHR_VALS))
+    tsel = [0] + [1] * (nc - 1)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    seg(0xDB, bytes([0x00]) + bytes(q_lum[_ZIGZAG].astype(np.uint8)))
+    if nc == 3:
+        seg(0xDB, bytes([0x01]) + bytes(q_chr[_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], tsel[ci]])
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00]) + _DC_LUM_BITS + _DC_LUM_VALS)
+    seg(0xC4, bytes([0x10]) + _AC_LUM_BITS + _AC_LUM_VALS)
+    if nc == 3:
+        seg(0xC4, bytes([0x01]) + _DC_CHR_BITS + _DC_CHR_VALS)
+        seg(0xC4, bytes([0x11]) + _AC_CHR_BITS + _AC_CHR_VALS)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, (tsel[ci] << 4) | tsel[ci]])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    bw = _BitWriter()
+    preds = [0] * nc
+    rst = 0
+    mcu_index = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                bw.flush()
+                out.extend(bw.buf)
+                bw = _BitWriter()
+                out.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                preds = [0] * nc
+            for ci in range(nc):
+                sh, sv = samp[ci]
+                for v in range(sv):
+                    for hh in range(sh):
+                        coefs = coef_grids[ci][my * sv + v, mx * sh + hh]
+                        preds[ci] = _emit_block(
+                            bw, coefs, preds[ci], dc_maps[tsel[ci]],
+                            ac_maps[tsel[ci]],
+                        )
+            mcu_index += 1
+    bw.flush()
+    out.extend(bw.buf)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
 
 
 # --------------------------------------------------------------- WAV

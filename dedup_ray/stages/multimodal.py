@@ -1,6 +1,6 @@
 """Multimodal (image/audio/video) stages — REAL Ray-side plumbing with
-REAL stdlib codecs for PNG / BMP / 16-bit WAV, pluggable externals for
-the rest.
+REAL stdlib codecs for PNG / BMP / baseline JPEG / 16-bit WAV,
+pluggable externals for the rest.
 
 Media rides the pipeline as opaque ``binary`` columns plus typed
 metadata, exactly like ``html`` in the pages schema.  The
@@ -11,12 +11,12 @@ resolution order per payload:
 
   1. a real library (PIL / soundfile / av) when importable;
   2. the pure-stdlib decoders in ``functions/codecs.py`` (PNG, BMP,
-     WAV) — REAL decodes with pixel/sample-derived features, fully
-     exercised in this container;
+     baseline JPEG, WAV) — REAL decodes with pixel/sample-derived
+     features, fully exercised in this container;
   3. otherwise the DETERMINISTIC FAKE decoder (dims from a stable
      payload hash, features = normalized byte histogram), keeping
      schema/batching/layout testable for formats with no decoder here
-     (JPEG, MP4, ...);
+     (MP4 frames, progressive JPEG, ...);
   ``strict=True`` raises NotImplementedError instead of faking, for
   callers that must not silently produce fake features.
 """
@@ -56,9 +56,10 @@ def _try_import_pil():
 class DecodeImage:
     """binary payload -> (width, height, channels, features[256]).
 
-    PNG and BMP payloads are REALLY decoded (functions/codecs.py) and
-    the feature vector is the normalized 256-bin LUMINANCE histogram of
-    the actual pixels; PIL handles other formats when importable; the
+    PNG, BMP and baseline-JPEG payloads are REALLY decoded
+    (functions/codecs.py) and the feature vector is the normalized
+    256-bin LUMINANCE histogram of the actual pixels; PIL handles
+    other formats when importable; the
     deterministic fake (dims from payload hash, byte histogram) covers
     the rest so the pipeline shape stays testable."""
 
@@ -102,6 +103,9 @@ class DecodeImage:
                 return px.shape[1], px.shape[0], px.shape[2], self._pixel_features(px)
             if kind == "bmp":
                 px = codecs.decode_bmp(payload)
+                return px.shape[1], px.shape[0], px.shape[2], self._pixel_features(px)
+            if kind == "jpeg":
+                px = codecs.decode_jpeg(payload)
                 return px.shape[1], px.shape[0], px.shape[2], self._pixel_features(px)
         except ValueError:
             pass  # unsupported sub-format -> PIL / fake below

@@ -73,6 +73,96 @@ def test_png_all_filter_types_decode():
     np.testing.assert_array_equal(codecs.decode_png(data), px)
 
 
+def test_png_palette_decode():
+    """Hand-build a palette (color type 3) PNG; decode must expand
+    indices through PLTE to RGB."""
+    import struct
+    import zlib
+
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], np.uint8
+    )
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 3, 0]], np.uint8)
+    h, w = idx.shape
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(codecs.decode_png(data), palette[idx])
+
+
+def _smooth_img(h=48, w=80):
+    """Band-limited test image — JPEG loss on it is small and bounded."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.stack(
+        [
+            128 + 100 * np.sin(xx / 13) * np.cos(yy / 9),
+            xx * 255 / w,
+            yy * 255 / h,
+        ],
+        axis=-1,
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_444():
+    img = _smooth_img()
+    data = codecs.encode_jpeg(img, quality=90)
+    assert codecs.sniff(data) == "jpeg"
+    dec = codecs.decode_jpeg(data)
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 3 and err.max() < 16
+
+
+def test_jpeg_roundtrip_420_and_restart():
+    """4:2:0 subsampling (multi-block MCUs + chroma upsampling) and
+    restart markers (DRI/RSTn, DC predictor resets) both decode."""
+    img = _smooth_img(h=37, w=53)  # non-multiple of 16: edge padding path
+    for kw in (
+        dict(subsample=True),
+        dict(restart_interval=3),
+        dict(subsample=True, restart_interval=2),
+    ):
+        dec = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90, **kw))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.mean() < 5 and err.max() < 48, kw  # chroma edges are lossy
+
+
+def test_jpeg_flat_image_near_exact():
+    """A flat image is DC-only; quantized DC at high quality must
+    reconstruct the exact level."""
+    flat = np.full((24, 40, 3), 130, np.uint8)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(flat, quality=95))
+    assert int(np.abs(dec.astype(int) - 130).max()) == 0
+
+
+def test_jpeg_grayscale_roundtrip():
+    g = _smooth_img()[:, :, 0]
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(g, quality=92))
+    assert dec.shape == (*g.shape, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).mean() < 2
+
+
+def test_jpeg_rejects_progressive():
+    """SOF2 must raise (falls back to fake/PIL in the stage)."""
+    data = bytearray(codecs.encode_jpeg(_smooth_img(16, 16)))
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(bytes(data))
+
+
 def test_bmp_roundtrip():
     px = _img(h=6, w=5)
     np.testing.assert_array_equal(codecs.decode_bmp(codecs.encode_bmp(px)), px)
@@ -101,18 +191,28 @@ def test_decode_image_kernel_real_png():
     px = _img(h=20, w=30)
     batch = pa.table(
         {
-            "url": pa.array(["p", "b"], pa.string()),
+            "url": pa.array(["p", "b", "j"], pa.string()),
             "payload": pa.array(
-                [codecs.encode_png(px), codecs.encode_bmp(px)], pa.binary()
+                [
+                    codecs.encode_png(px),
+                    codecs.encode_bmp(px),
+                    codecs.encode_jpeg(px, quality=95),
+                ],
+                pa.binary(),
             ),
         }
     )
     out = DecodeImage(strict=True)(batch).to_pandas()
-    assert list(out["width"]) == [30, 30]
-    assert list(out["height"]) == [20, 20]
-    assert list(out["channels"]) == [3, 3]
+    assert list(out["width"]) == [30, 30, 30]
+    assert list(out["height"]) == [20, 20, 20]
+    assert list(out["channels"]) == [3, 3, 3]
     # identical pixels -> identical luminance histograms
     np.testing.assert_allclose(out["features"][0], out["features"][1])
+    # JPEG is lossy but its luminance histogram stays close in L1
+    l1 = np.abs(
+        np.asarray(out["features"][0]) - np.asarray(out["features"][2])
+    ).sum()
+    assert l1 < 0.8  # random-noise image: worst case for JPEG, still same mass
 
 
 def test_decode_audio_kernel_real_wav():
