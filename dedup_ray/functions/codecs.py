@@ -751,6 +751,267 @@ def encode_jpeg(
     return bytes(out)
 
 
+# ------------------------------------------------------- MP4 (ISOBMFF)
+#
+# Container-level parsing per ISO/IEC 14496-12: the sample tables in
+# moov/trak/mdia/minf/stbl give every video frame's REAL byte range,
+# timestamp and sync (keyframe) flag without any codec work.  Frame
+# SAMPLING is therefore real here; only pixel DECODE of the extracted
+# frame bytes needs an external codec (PyAV) and stays stubbed.
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for boxes in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        btype = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("malformed MP4 box")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_children(data: bytes, ranges: list, name: bytes) -> list:
+    out = []
+    for s, e in ranges:
+        for btype, bs, be in _mp4_boxes(data, s, e):
+            if btype == name:
+                out.append((bs, be))
+    return out
+
+
+def parse_mp4_video(data: bytes) -> dict:
+    """MP4 bytes -> the first video track's sample table.
+
+    Returns ``{codec, width, height, timescale, n_samples, offsets,
+    sizes, dts, sync}`` (numpy arrays; ``dts`` in timescale units,
+    ``sync`` bool — all-true when there is no stss box).  Composition
+    offsets (ctts) are ignored: pts is approximated by dts, which is
+    exact for streams without B-frame reordering.  Raises ValueError
+    for fragmented (moof) or non-video files.
+    """
+    if sniff(data) != "mp4":
+        raise ValueError("not an MP4")
+    top = list(_mp4_boxes(data, 0, len(data)))
+    if any(t == b"moof" for t, _, _ in top):
+        raise ValueError("fragmented MP4 (moof) unsupported")
+    moov = [(s, e) for t, s, e in top if t == b"moov"]
+    if not moov:
+        raise ValueError("MP4 without moov")
+    for trak in _mp4_children(data, moov, b"trak"):
+        mdia = _mp4_children(data, [trak], b"mdia")
+        hdlr = _mp4_children(data, mdia, b"hdlr")
+        if not hdlr or data[hdlr[0][0] + 8 : hdlr[0][0] + 12] != b"vide":
+            continue
+        mdhd_s = _mp4_children(data, mdia, b"mdhd")[0][0]
+        version = data[mdhd_s]
+        timescale = struct.unpack(
+            ">I", data[mdhd_s + (20 if version else 12) : mdhd_s + (24 if version else 16)]
+        )[0]
+        stbl = _mp4_children(data, _mp4_children(data, mdia, b"minf"), b"stbl")
+        boxes = {
+            t: (s, e)
+            for ss, ee in stbl
+            for t, s, e in _mp4_boxes(data, ss, ee)
+        }
+        # stsd: first VisualSampleEntry -> fourcc + dims
+        sd_s, sd_e = boxes[b"stsd"]
+        ent = sd_s + 8  # fullbox(4) + entry_count(4)
+        codec = data[ent + 4 : ent + 8].decode("latin1")
+        width, height = struct.unpack(">HH", data[ent + 32 : ent + 36])
+        # stsz: sizes
+        sz_s, _ = boxes[b"stsz"]
+        uniform, count = struct.unpack(">II", data[sz_s + 4 : sz_s + 12])
+        if uniform:
+            sizes = np.full(count, uniform, dtype=np.int64)
+        else:
+            sizes = np.frombuffer(
+                data, dtype=">u4", count=count, offset=sz_s + 12
+            ).astype(np.int64)
+        # stts: decode timestamps
+        tt_s, _ = boxes[b"stts"]
+        (n_tt,) = struct.unpack(">I", data[tt_s + 4 : tt_s + 8])
+        tt = np.frombuffer(
+            data, dtype=">u4", count=2 * n_tt, offset=tt_s + 8
+        ).astype(np.int64).reshape(-1, 2)
+        deltas = np.repeat(tt[:, 1], tt[:, 0])[:count]
+        dts = np.concatenate([[0], np.cumsum(deltas)[:-1]])
+        # stsc + stco/co64: per-sample file offsets
+        sc_s, _ = boxes[b"stsc"]
+        (n_sc,) = struct.unpack(">I", data[sc_s + 4 : sc_s + 8])
+        sc = np.frombuffer(
+            data, dtype=">u4", count=3 * n_sc, offset=sc_s + 8
+        ).astype(np.int64).reshape(-1, 3)  # first_chunk, spc, desc_id
+        if b"stco" in boxes:
+            co_s, _ = boxes[b"stco"]
+            (n_co,) = struct.unpack(">I", data[co_s + 4 : co_s + 8])
+            chunk_off = np.frombuffer(
+                data, dtype=">u4", count=n_co, offset=co_s + 8
+            ).astype(np.int64)
+        else:
+            co_s, _ = boxes[b"co64"]
+            (n_co,) = struct.unpack(">I", data[co_s + 4 : co_s + 8])
+            chunk_off = np.frombuffer(
+                data, dtype=">u8", count=n_co, offset=co_s + 8
+            ).astype(np.int64)
+        # expand stsc to samples-per-chunk for every chunk
+        bounds = np.append(sc[:, 0], n_co + 1)  # 1-based chunk ranges
+        spc = np.repeat(sc[:, 1], np.diff(bounds))[:n_co]
+        spc_total = int(spc.sum())
+        if spc_total < count:
+            raise ValueError("MP4 sample tables inconsistent (stsc/stsz)")
+        sample_chunk = np.repeat(np.arange(n_co), spc)[:count]
+        excl = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        chunk_first = np.concatenate([[0], np.cumsum(spc)[:-1]])
+        offsets = (
+            chunk_off[sample_chunk]
+            + excl
+            - excl[chunk_first[sample_chunk]]
+        )
+        sync = np.zeros(count, dtype=bool)
+        if b"stss" in boxes:
+            ss_s, _ = boxes[b"stss"]
+            (n_ss,) = struct.unpack(">I", data[ss_s + 4 : ss_s + 8])
+            idx = np.frombuffer(
+                data, dtype=">u4", count=n_ss, offset=ss_s + 8
+            ).astype(np.int64)
+            sync[idx - 1] = True
+        else:
+            sync[:] = True
+        return {
+            "codec": codec,
+            "width": int(width),
+            "height": int(height),
+            "timescale": int(timescale),
+            "n_samples": int(count),
+            "offsets": offsets,
+            "sizes": sizes,
+            "dts": dts,
+            "sync": sync,
+        }
+    raise ValueError("MP4 has no video track")
+
+
+def encode_mp4(
+    frames: list[bytes],
+    *,
+    fps: int = 12,
+    width: int = 64,
+    height: int = 48,
+    sync_every: int = 4,
+    codec: bytes = b"mp4v",
+    frames_per_chunk: int | None = None,
+) -> bytes:
+    """Opaque frame payloads -> minimal single-track MP4 (ftyp + mdat +
+    moov with full stbl sample tables; every ``sync_every``-th frame is
+    marked sync in stss).  The frame BYTES are arbitrary — this writes
+    a structurally valid container for the sampling path and tests.
+    ``frames_per_chunk`` splits samples over multiple chunks (multiple
+    stco entries + a run-length stsc), exercising the reader's
+    chunk-offset math; default is one chunk."""
+    timescale = fps * 1000
+    delta = 1000
+    n = len(frames)
+    fpc = frames_per_chunk or n
+
+    def box(t: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + t + body
+
+    def full(t: bytes, body: bytes, version: int = 0, flags: int = 0) -> bytes:
+        return box(t, bytes([version]) + flags.to_bytes(3, "big") + body)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat_payload = b"".join(frames)
+    mdat = box(b"mdat", mdat_payload)
+    chunk_offset = len(ftyp) + 8  # start of mdat payload
+
+    duration = n * delta
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">iHHII", 0x10000, 0x0100, 0, 0, 0)
+        + matrix
+        + struct.pack(">6I", 0, 0, 0, 0, 0, 0)
+        + struct.pack(">I", 2),
+    )
+    tkhd = full(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + struct.pack(">IIHHHH", 0, 0, 0, 0, 0, 0)
+        + matrix
+        + struct.pack(">II", width << 16, height << 16),
+        flags=3,
+    )
+    mdhd = full(
+        b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0)
+    )
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"v\x00")
+    vmhd = full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+    dref = full(
+        b"dref", struct.pack(">I", 1) + full(b"url ", b"", flags=1)
+    )
+    dinf = box(b"dinf", dref)
+    sample_entry = box(
+        codec,
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">IH", 0, 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1),
+    )
+    stsd = full(b"stsd", struct.pack(">I", 1) + sample_entry)
+    stts = full(b"stts", struct.pack(">III", 1, n, delta))
+    chunks = [frames[i : i + fpc] for i in range(0, n, fpc)]
+    sc_entries = [(1, min(fpc, n), 1)]
+    if len(chunks) > 1 and len(chunks[-1]) != fpc:
+        sc_entries.append((len(chunks), len(chunks[-1]), 1))
+    stsc = full(
+        b"stsc",
+        struct.pack(">I", len(sc_entries))
+        + b"".join(struct.pack(">III", *e) for e in sc_entries),
+    )
+    stsz = full(
+        b"stsz",
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    chunk_offsets = []
+    off = chunk_offset
+    for c in chunks:
+        chunk_offsets.append(off)
+        off += sum(len(f) for f in c)
+    stco = full(
+        b"stco",
+        struct.pack(">I", len(chunk_offsets))
+        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+    )
+    sync_idx = list(range(1, n + 1, max(1, sync_every)))
+    stss = full(
+        b"stss",
+        struct.pack(">I", len(sync_idx))
+        + b"".join(struct.pack(">I", i) for i in sync_idx),
+    )
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
 # --------------------------------------------------------------- WAV
 
 

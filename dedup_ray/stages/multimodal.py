@@ -164,10 +164,17 @@ def decode_images(
 
 
 class SampleFrames:
-    """video binary -> N evenly spaced "frames" (byte windows) with a
-    per-frame feature — the frame-sampling plumbing for video dedup.
-    Real decoder (av) would replace ``_windows``; everything else is
-    production-shaped."""
+    """video binary -> N sampled frames (sha256 + timestamp + sync).
+
+    MP4 payloads are REALLY sampled: the ISOBMFF sample tables
+    (functions/codecs.parse_mp4_video) give every frame's byte range,
+    decode timestamp and keyframe flag, so the emitted rows carry the
+    true frame bytes' hash, ``pts_sec`` and ``is_sync`` — sync samples
+    are preferred when enough exist (they are the only
+    independently-decodable frames).  Pixel DECODE of a frame still
+    needs a codec library (PyAV, not installed here) and is not faked.
+    Non-MP4 payloads fall back to evenly spaced byte windows with null
+    pts/sync (``strict=True`` raises instead)."""
 
     def __init__(self, n_frames: int = 4, *, strict: bool = False) -> None:
         self.n = n_frames
@@ -185,22 +192,65 @@ class SampleFrames:
         step = max(1, len(payload) // self.n)
         return [payload[i * step : (i + 1) * step] for i in range(self.n)]
 
+    def _sample_mp4(self, payload: bytes) -> list[tuple]:
+        """-> [(frame_bytes, pts_sec, is_sync)] for N sampled frames."""
+        from dedup_ray.functions import codecs
+
+        info = codecs.parse_mp4_video(payload)
+        n_avail = info["n_samples"]
+        if n_avail == 0:
+            return []
+        sync_idx = np.flatnonzero(info["sync"])
+        pool = sync_idx if len(sync_idx) >= min(self.n, n_avail) else np.arange(n_avail)
+        take = pool[
+            np.linspace(0, len(pool) - 1, min(self.n, len(pool))).astype(np.int64)
+        ]
+        out = []
+        for i in take:
+            off, sz = int(info["offsets"][i]), int(info["sizes"][i])
+            out.append(
+                (
+                    payload[off : off + sz],
+                    float(info["dts"][i]) / info["timescale"],
+                    bool(info["sync"][i]),
+                )
+            )
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.av is None and self.strict:
-            raise NotImplementedError("video decoding requires PyAV (not installed)")
-        urls, idxs, hashes = [], [], []
+        from dedup_ray.functions import codecs
+
+        urls, idxs, hashes, pts, sync = [], [], [], [], []
         for url, payload in zip(
             batch["url"].to_pylist(), batch["payload"].to_pylist()
         ):
-            for i, win in enumerate(self._windows(payload or b"")):
+            payload = payload or b""
+            frames = None
+            if codecs.sniff(payload) == "mp4":
+                try:
+                    frames = self._sample_mp4(payload)
+                except ValueError:
+                    frames = None  # fragmented / no video track -> fallback
+            if frames is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        "not a parseable MP4 and PyAV is not installed; "
+                        "run with strict=False for byte-window sampling"
+                    )
+                frames = [(w, None, None) for w in self._windows(payload)]
+            for i, (data, p, s) in enumerate(frames):
                 urls.append(url)
                 idxs.append(i)
-                hashes.append(hashlib.sha256(win).hexdigest())
+                hashes.append(hashlib.sha256(data).hexdigest())
+                pts.append(p)
+                sync.append(s)
         return pa.table(
             {
                 "url": pa.array(urls, type=pa.string()),
                 "frame_idx": pa.array(idxs, type=pa.int32()),
                 "frame_sha256": pa.array(hashes, type=pa.string()),
+                "pts_sec": pa.array(pts, type=pa.float64()),
+                "is_sync": pa.array(sync, type=pa.bool_()),
             }
         )
 

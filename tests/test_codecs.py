@@ -163,6 +163,38 @@ def test_jpeg_rejects_progressive():
         codecs.decode_jpeg(bytes(data))
 
 
+def test_mp4_sample_table_roundtrip():
+    """ISOBMFF sample tables recover every frame's exact byte range,
+    dts and sync flag — including the multi-chunk stsc/stco path."""
+    frames = [bytes([i]) * (40 + 9 * i) for i in range(11)]
+    for fpc in (None, 3):  # single chunk and 4 chunks (3+3+3+2)
+        data = codecs.encode_mp4(
+            frames, fps=25, width=160, height=90, sync_every=5,
+            frames_per_chunk=fpc,
+        )
+        assert codecs.sniff(data) == "mp4"
+        info = codecs.parse_mp4_video(data)
+        assert (info["codec"], info["width"], info["height"]) == ("mp4v", 160, 90)
+        assert info["n_samples"] == 11
+        for i, f in enumerate(frames):
+            off, sz = int(info["offsets"][i]), int(info["sizes"][i])
+            assert data[off : off + sz] == f, (fpc, i)
+        np.testing.assert_array_equal(
+            info["dts"], np.arange(11) * (info["timescale"] // 25)
+        )
+        assert np.flatnonzero(info["sync"]).tolist() == [0, 5, 10]
+
+
+def test_mp4_parse_rejects_non_video():
+    with pytest.raises(ValueError):
+        codecs.parse_mp4_video(b"\x00" * 40)
+    # structurally valid but no moov
+    import struct
+    data = struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
+    with pytest.raises(ValueError):
+        codecs.parse_mp4_video(data + struct.pack(">I", 8) + b"free")
+
+
 def test_bmp_roundtrip():
     px = _img(h=6, w=5)
     np.testing.assert_array_equal(codecs.decode_bmp(codecs.encode_bmp(px)), px)

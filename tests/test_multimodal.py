@@ -47,12 +47,56 @@ def test_decode_strict_raises():
 
 def test_sample_frames():
     out = sample_frames(_media_ds(4), n_frames=4).to_pandas()
-    assert set(out.columns) == {"url", "frame_idx", "frame_sha256"}
+    assert set(out.columns) == {
+        "url", "frame_idx", "frame_sha256", "pts_sec", "is_sync"
+    }
     assert len(out) == 16
     per = out.groupby("url")["frame_idx"].apply(list)
     assert all(sorted(v) == [0, 1, 2, 3] for v in per)
     # identical payload -> identical frame hashes
     assert out["frame_sha256"].str.len().eq(64).all()
+    # byte-window fallback carries no timing info
+    assert out["pts_sec"].isna().all() and out["is_sync"].isna().all()
+
+
+def test_sample_frames_real_mp4():
+    """MP4 payloads sample REAL frames: hashes match the original frame
+    bytes, pts from stts, sync preference from stss — strict mode OK."""
+    import hashlib
+
+    from dedup_ray.functions.codecs import encode_mp4
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    frames = [rng.bytes(80 + 13 * i) for i in range(12)]
+    # sync every 3rd frame at 10 fps -> sync pts 0.0, 0.3, 0.6, 0.9
+    payload = encode_mp4(frames, fps=10, sync_every=3)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["v0"], pa.string()),
+                "payload": pa.array([payload], pa.binary()),
+            }
+        )
+    )
+    out = (
+        sample_frames(ds, n_frames=4)
+        .to_pandas()
+        .sort_values("frame_idx", ignore_index=True)
+    )
+    assert len(out) == 4
+    assert out["is_sync"].all()  # 4 sync frames exist for n_frames=4
+    np.testing.assert_allclose(out["pts_sec"], [0.0, 0.3, 0.6, 0.9])
+    want = [hashlib.sha256(frames[i]).hexdigest() for i in (0, 3, 6, 9)]
+    assert list(out["frame_sha256"]) == want
+
+
+def test_sample_frames_strict_rejects_non_mp4():
+    from dedup_ray.stages.multimodal import SampleFrames
+
+    with pytest.raises(NotImplementedError):
+        SampleFrames(4, strict=True)(
+            pa.table({"url": ["x"], "payload": [b"not-a-video"]})
+        )
 
 
 def test_decode_audio_stage():
