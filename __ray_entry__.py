@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_region": rel.customers_per_region,
         "top2_orders_per_customer": rel.top2_orders_per_customer,
         "asof_last_click": rel.asof_last_click,
+        "events_sessionize": rel.events_sessionize,
+        "tpch_q3_shipping": rel.tpch_q3_shipping,
     }
     from dedup_ray.functions import text as tx
     from dedup_ray.stages import embedding as emb
@@ -118,6 +120,8 @@ def oracle_sql() -> dict[str, str]:
         "customers_per_region": rel.CUSTOMERS_PER_REGION_SQL,
         "top2_orders_per_customer": rel.TOP2_ORDERS_PER_CUSTOMER_SQL,
         "asof_last_click": rel.ASOF_LAST_CLICK_SQL,
+        "events_sessionize": rel.EVENTS_SESSIONIZE_SQL,
+        "tpch_q3_shipping": rel.TPCH_Q3_SHIPPING_SQL,
     }
     from dedup_ray.functions import text as tx
     from dedup_ray.stages import embedding as emb

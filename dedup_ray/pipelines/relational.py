@@ -660,3 +660,237 @@ FROM events e
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON e.user_id = c.user_id AND e.ts > c.ts
 """
+
+
+# ---------------------------------------------------------------- sessionize
+#: gap that closes a session (microseconds) — 30 minutes
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def events_sessionize(sf_dir: str) -> ray.data.Dataset:
+    """Gap-based sessionization: per user, a new session starts at the
+    first event and whenever the gap to the previous event exceeds 30
+    minutes; emits the per-user session sequence number.
+
+    The canonical training-data / clickstream windowing op (neither the
+    reference nor Ray Data has it natively).  Shape: one hash exchange
+    on user_id, then a single globally-vectorized kernel per partition
+    — lexsort by (user, ts, event_id), boundary mask = user-change OR
+    gap, cumsum, per-user rebase via maximum.accumulate.  No per-group
+    Python.  Same partitioning assumption as asof_last_click (a user's
+    rows fit one partition; Zipf-bounded, saltable)."""
+    from dedup_ray.core import numeric_key_u64, partitioned_kernel
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "session_seq": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, users))
+        u, t = users[order], ts[order]
+        user_change = np.ones(len(u), dtype=bool)
+        user_change[1:] = u[1:] != u[:-1]
+        new_sess = user_change.copy()
+        new_sess[1:] |= (t[1:] - t[:-1]) > SESSION_GAP_US
+        cs = np.cumsum(new_sess)  # strictly increases at user starts
+        base = np.maximum.accumulate(np.where(user_change, cs, 0))
+        seq = cs - base + 1
+        idx = pa.array(order)
+        return pa.table(
+            {
+                "event_id": g["event_id"].take(idx),
+                "user_id": g["user_id"].take(idx),
+                "ts": g["ts"].take(idx),
+                "session_seq": pa.array(seq, type=pa.int64()),
+            }
+        )
+
+    return partitioned_kernel(
+        ds,
+        lambda t: numeric_key_u64(t, ["user_id"]),
+        kernel,
+        num_partitions=64,
+        empty_result=empty,
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH seq AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       CAST(sum(CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_seq
+FROM seq
+"""
+
+
+# ---------------------------------------------------------------- Q3 shape
+def tpch_q3_shipping(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q3 shape: customer ⨝ orders ⨝ lineitem with selective
+    filters, revenue per order, top 10.
+
+    Scale shape: the BUILDING customer key set is the only broadcast
+    (small dimension); orders-after-filter and lineitem-after-filter
+    are both fact-sized, so their join is ONE hash exchange on
+    orderkey — both sides union into the same partitioned kernel
+    (the repo's shuffle-join decomposition; Dataset.join is avoided
+    per the Ray 2.49 chained-join defect).  Inside a partition the
+    join + group-by is one searchsorted + bincount — and because an
+    orderkey lives in exactly one partition, per-key revenue sums are
+    final with no second exchange; only the tiny per-partition top
+    candidates reach the global sort."""
+    from dedup_ray.core import numeric_key_u64, partitioned_kernel
+
+    cutoff = np.datetime64("1995-03-15", "us")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    bkeys = np.sort(
+        np.concatenate(
+            [
+                b["c_custkey"].to_numpy(zero_copy_only=False)
+                for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536)
+            ]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    bkeys_ref = ray.put(bkeys)
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        keys = _worker_region_map(bkeys_ref)  # lru-cached ray.get per worker
+        t = t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff)))
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        if len(keys):
+            pos = np.searchsorted(keys, ck)
+            pos[pos >= len(keys)] = 0  # ck > max(keys) can't match keys[0]
+            mask = keys[pos] == ck
+        else:
+            mask = np.zeros(len(ck), dtype=bool)
+        t = t.filter(pa.array(mask))
+        n = len(t)
+        return pa.table(
+            {
+                "okey": t["o_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "revenue_part": pa.nulls(n, pa.float64()),
+                "is_order": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    def lineitem_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        n = len(t)
+        return pa.table(
+            {
+                "okey": t["l_orderkey"],
+                "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+                "revenue_part": rev,
+                "is_order": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(lineitem_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    empty = pa.table(
+        {
+            "l_orderkey": pa.array([], pa.int64()),
+            "revenue": pa.array([], pa.float64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+        }
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        is_ord = g["is_order"].to_numpy(zero_copy_only=False)
+        okey = g["okey"].to_numpy(zero_copy_only=False)
+        o_keys = okey[is_ord]
+        # the union column is null on lineitem rows — fill before the
+        # int64 cast or to_numpy degrades the whole column to float64
+        o_dates = (
+            pc.fill_null(g["o_orderdate"], pa.scalar(0, pa.timestamp("us")))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)[is_ord]
+        )
+        oo = np.argsort(o_keys)
+        o_keys, o_dates = o_keys[oo], o_dates[oo]
+        l_keys = okey[~is_ord]
+        l_rev = g["revenue_part"].to_numpy(zero_copy_only=False)[~is_ord]
+        pos = np.searchsorted(o_keys, l_keys)
+        pos_c = np.minimum(pos, max(len(o_keys) - 1, 0))
+        hit = (
+            (o_keys[pos_c] == l_keys)
+            if len(o_keys)
+            else np.zeros(len(l_keys), bool)
+        )
+        lk, lr, ld = l_keys[hit], l_rev[hit], o_dates[pos_c[hit]]
+        uk, inv = np.unique(lk, return_inverse=True)
+        sums = np.bincount(inv, weights=lr, minlength=len(uk))
+        first = np.zeros(len(uk), dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(lk) - 1, -1, -1)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk, type=pa.int64()),
+                "revenue": sql_round(pa.array(sums, type=pa.float64()), 2),
+                "o_orderdate": pa.array(ld[first]).cast(pa.timestamp("us")),
+            }
+        )
+
+    per_order = partitioned_kernel(
+        orders.union(lines),
+        lambda t: numeric_key_u64(t, ["okey"]),
+        kernel,
+        num_partitions=64,
+        empty_result=empty,
+    )
+    return per_order.sort(
+        ["revenue", "o_orderdate", "l_orderkey"], descending=[True, False, False]
+    ).limit(10)
+
+
+TPCH_Q3_SHIPPING_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
