@@ -72,11 +72,16 @@ def train_codebook(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    mats = []
+    mats, id_chunks = [], []
     for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-        _, m = _batch_matrix(b)
+        ids, m = _batch_matrix(b)
         mats.append(m)
+        id_chunks.append(ids)
     x = np.vstack(mats)
+    # batches arrive in block order, which varies with session
+    # parallelism — canonicalize by vec_id or the k-means init (and so
+    # the whole codebook) would depend on CPU count
+    x = x[np.argsort(np.concatenate(id_chunks))]
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     x = x / norms

@@ -6,6 +6,7 @@ import json
 import os
 
 import pyarrow as pa
+import pytest
 
 from dedup_ray.config import DedupConfig
 from dedup_ray.stages.minhash import MinHasher, tokenize
@@ -47,6 +48,58 @@ def test_minhash_vectors_golden():
     assert sum(a == b for a, b in zip(s1, s2)) > sum(
         a == b for a, b in zip(s1, s3)
     )
+
+
+_ANCHORS = json.load(
+    open(os.path.join(GOLDEN, "rows_only_anchors_sf0001.json"))
+)
+#: the two heaviest pipelines get the slow marker; the rest run in the
+#: default `-m "not slow"` pass so semantic drift is caught early
+_SLOW_ANCHORED = {"dedup_full", "embedding_dedup_ann"}
+
+
+def _anchor_params():
+    import pytest as _pytest
+
+    return [
+        _pytest.param(n, marks=_pytest.mark.slow)
+        if n in _SLOW_ANCHORED
+        else n
+        for n in sorted(_ANCHORS["queries"])
+    ]
+
+
+@pytest.mark.parametrize("name", _anchor_params())
+def test_rows_only_query_anchor(name, ray_session, sf_smoke):
+    """Every rows-only driver query is pinned to a content anchor
+    (count + sha256 of canonically serialized full output at sf0.001)
+    so the driver's weaker rows-only check still has teeth — semantic
+    drift in hashing/shingling/clustering fails here first.
+    Regenerate deliberately: scripts/regen_rows_only_anchors.py."""
+    import hashlib
+
+    import numpy as np
+
+    import __ray_entry__ as entrymod
+
+    g = _ANCHORS["queries"][name]
+    df = entrymod.queries()[name](sf_smoke)
+    df = df.to_pandas() if hasattr(df, "to_pandas") else df
+    assert sorted(df.columns) == g["columns"]
+
+    def fmt(v):
+        if isinstance(v, (float, np.floating)):
+            return f"{float(v):.6f}"
+        if isinstance(v, (list, np.ndarray)):
+            return ",".join(fmt(x) for x in v)
+        return str(v)
+
+    cols = g["columns"]
+    lines = sorted(
+        "|".join(fmt(r[c]) for c in cols) for _, r in df.iterrows()
+    )
+    assert len(lines) == g["n_rows"]
+    assert hashlib.sha256("\n".join(lines).encode()).hexdigest() == g["sha256"]
 
 
 def test_substring_pair_golden(ray_session):
