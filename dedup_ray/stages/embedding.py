@@ -24,6 +24,19 @@ import ray.data
 from dedup_ray.core import segments
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _worker_obj(ref):
+    """Per-worker broadcast fetch (ray.put once on the driver, one
+    ray.get per worker process).  Plain task functions + this cache
+    replace actor pools for cheap broadcast state: an autoscaling
+    actor pool pays seconds of ramp/startup per stage (CLAUDE.md),
+    while tasks reuse the session's warm workers."""
+    return ray.get(ref)
+
+
 def _read_embeddings(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -76,45 +89,40 @@ def cosine_topk(
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     q_ref = ray.put((q_ids, qm))
 
-    class PartialTopK:
-        def __init__(self, ref, k: int) -> None:
-            self.q_ids, self.qm = ray.get(ref)
-            self.k = k
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids, m = _batch_matrix(t)
-            norms = np.linalg.norm(m, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            m = m / norms
-            cos = m @ self.qm.T  # (batch, n_queries)
-            out_q, out_n, out_c = [], [], []
-            for j, qid in enumerate(self.q_ids.tolist()):
-                col = cos[:, j]
-                mask = ids != qid
-                cand_ids = ids[mask]
-                cand_cos = col[mask]
-                if len(cand_ids) > self.k:
-                    # top-k by (cos desc, id asc)
-                    order = np.lexsort((cand_ids, -cand_cos))[: self.k]
-                else:
-                    order = np.argsort(-cand_cos)
-                out_q.extend([qid] * len(order))
-                out_n.extend(cand_ids[order].tolist())
-                out_c.extend(cand_cos[order].tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, type=pa.int64()),
-                    "neighbor_id": pa.array(out_n, type=pa.int64()),
-                    "cos": pa.array(out_c, type=pa.float64()),
-                }
-            )
+    def partial_topk(t: pa.Table, *, ref, k: int) -> pa.Table:
+        q_ids, qmat = _worker_obj(ref)
+        ids, m = _batch_matrix(t)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        m = m / norms
+        cos = m @ qmat.T  # (batch, n_queries)
+        out_q, out_n, out_c = [], [], []
+        for j, qid in enumerate(q_ids.tolist()):
+            col = cos[:, j]
+            mask = ids != qid
+            cand_ids = ids[mask]
+            cand_cos = col[mask]
+            if len(cand_ids) > k:
+                # top-k by (cos desc, id asc)
+                order = np.lexsort((cand_ids, -cand_cos))[:k]
+            else:
+                order = np.argsort(-cand_cos)
+            out_q.extend([qid] * len(order))
+            out_n.extend(cand_ids[order].tolist())
+            out_c.extend(cand_cos[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "cos": pa.array(out_c, type=pa.float64()),
+            }
+        )
 
     partials = _read_embeddings(sf_dir).map_batches(
-        PartialTopK,
-        fn_constructor_args=(q_ref, k),
+        partial_topk,
+        fn_kwargs={"ref": q_ref, "k": k},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
     )
 
     def final(group: pa.Table) -> pa.Table:
@@ -164,34 +172,29 @@ def cosine_near_pairs(sf_dir: str, *, threshold: float = 0.35) -> ray.data.Datas
     all_n = all_m / norms
     ref = ray.put((all_ids, all_n))
 
-    class PairFinder:
-        def __init__(self, r, th: float) -> None:
-            self.ids, self.m = ray.get(r)
-            self.th = th
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids, m = _batch_matrix(t)
-            nn = np.linalg.norm(m, axis=1, keepdims=True)
-            nn[nn == 0] = 1.0
-            m = m / nn
-            cos = m @ self.m.T
-            rows, cols = np.nonzero(cos >= self.th)
-            a = ids[rows]
-            b = self.ids[cols]
-            keep = a < b
-            return pa.table(
-                {
-                    "id_a": pa.array(a[keep], type=pa.int64()),
-                    "id_b": pa.array(b[keep], type=pa.int64()),
-                }
-            )
+    def pair_finder(t: pa.Table, *, r, th: float) -> pa.Table:
+        all_ids2, all_m2 = _worker_obj(r)
+        ids, m = _batch_matrix(t)
+        nn = np.linalg.norm(m, axis=1, keepdims=True)
+        nn[nn == 0] = 1.0
+        m = m / nn
+        cos = m @ all_m2.T
+        rows, cols = np.nonzero(cos >= th)
+        a = ids[rows]
+        b = all_ids2[cols]
+        keep = a < b
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], type=pa.int64()),
+                "id_b": pa.array(b[keep], type=pa.int64()),
+            }
+        )
 
     return _read_embeddings(sf_dir).map_batches(
-        PairFinder,
-        fn_constructor_args=(ref, threshold),
+        pair_finder,
+        fn_kwargs={"r": ref, "th": threshold},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
     )
 
 
@@ -308,38 +311,33 @@ def ann_lsh_pairs(
     planes = rng.standard_normal((n_tables, n_bits, 64))
     p_ref = ray.put(planes)
 
-    class Bucketer:
+    def bucketer(t: pa.Table, *, r) -> pa.Table:
         """Emits SLIM (tbl, bucket, vec_id) rows — the 4-KB embedding
         payload never rides the n_tables-amplified shuffle."""
-
-        def __init__(self, r) -> None:
-            self.planes = ray.get(r)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids, m = _batch_matrix(t)
-            tbls, bks, oids = [], [], []
-            weights = (1 << np.arange(n_bits)).astype(np.int64)
-            for ti in range(n_tables):
-                proj = m @ self.planes[ti].T  # (n, bits)
-                bits = (proj >= 0).astype(np.int64)
-                bucket = bits @ weights
-                tbls.append(np.full(len(ids), ti, dtype=np.int64))
-                bks.append(bucket)
-                oids.append(ids)
-            return pa.table(
-                {
-                    "tbl": pa.array(np.concatenate(tbls), type=pa.int64()),
-                    "bucket": pa.array(np.concatenate(bks), type=pa.int64()),
-                    "vec_id": pa.array(np.concatenate(oids), type=pa.int64()),
-                }
-            )
+        planes_w = _worker_obj(r)
+        ids, m = _batch_matrix(t)
+        tbls, bks, oids = [], [], []
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        for ti in range(n_tables):
+            proj = m @ planes_w[ti].T  # (n, bits)
+            bits = (proj >= 0).astype(np.int64)
+            bucket = bits @ weights
+            tbls.append(np.full(len(ids), ti, dtype=np.int64))
+            bks.append(bucket)
+            oids.append(ids)
+        return pa.table(
+            {
+                "tbl": pa.array(np.concatenate(tbls), type=pa.int64()),
+                "bucket": pa.array(np.concatenate(bks), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(oids), type=pa.int64()),
+            }
+        )
 
     bucketed = _read_embeddings(sf_dir).map_batches(
-        Bucketer,
-        fn_constructor_args=(p_ref,),
+        bucketer,
+        fn_kwargs={"r": p_ref},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
     )
 
     # vectors come back to the buckets via the union + doc-id partition
