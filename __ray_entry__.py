@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_click": rel.asof_last_click,
         "events_sessionize": rel.events_sessionize,
         "tpch_q3_shipping": rel.tpch_q3_shipping,
+        "events_value_quantiles": rel.events_value_quantiles,
+        "distinct_users_by_type": rel.distinct_users_by_type,
     }
     from dedup_ray.functions import text as tx
     from dedup_ray.stages import embedding as emb
@@ -122,6 +124,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_last_click": rel.ASOF_LAST_CLICK_SQL,
         "events_sessionize": rel.EVENTS_SESSIONIZE_SQL,
         "tpch_q3_shipping": rel.TPCH_Q3_SHIPPING_SQL,
+        "events_value_quantiles": rel.EVENTS_VALUE_QUANTILES_SQL,
+        "distinct_users_by_type": rel.DISTINCT_USERS_BY_TYPE_SQL,
     }
     from dedup_ray.functions import text as tx
     from dedup_ray.stages import embedding as emb

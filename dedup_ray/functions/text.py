@@ -5,6 +5,8 @@ fingerprinting.  All vectorized (pyarrow.compute) or actor-pool."""
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -96,8 +98,8 @@ _STOPWORDS = {
 
 
 class LangId:
-    """Heuristic language id (stopword-profile scoring) as an
-    actor-pool stage — profiles built once per worker."""
+    """Heuristic language id (stopword-profile scoring) — profiles
+    built once per worker (lru_cache singleton; task stage)."""
 
     def __init__(self) -> None:
         import re
@@ -121,14 +123,17 @@ class LangId:
         return pa.table({"url": t["url"], "lang_pred": pa.array(preds, pa.string())})
 
 
+@functools.lru_cache(maxsize=1)
+def _lang_id_singleton() -> LangId:
+    return LangId()
+
+
 def lang_id(sf_dir: str) -> ray.data.Dataset:
     ds = documents_as_pages(sf_dir)
     return ds.map_batches(
-        LangId,
+        lambda t: _lang_id_singleton()(t),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
-        num_cpus=1,
     )
 
 
@@ -161,14 +166,17 @@ class Fingerprint:
         )
 
 
+@functools.lru_cache(maxsize=1)
+def _fingerprint_singleton() -> Fingerprint:
+    return Fingerprint()
+
+
 def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
     ds = documents_as_pages(sf_dir)
     return ds.map_batches(
-        Fingerprint,
+        lambda t: _fingerprint_singleton()(t),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
-        num_cpus=1,
     )
 
 

@@ -321,20 +321,17 @@ def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
 
-    class AntiJoin:
-        def __init__(self, ref):
-            self.keys = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            have = np.isin(t["c_custkey"].to_numpy(zero_copy_only=False), self.keys)
-            return t.filter(pa.array(~have))
+    def anti_join(t: pa.Table) -> pa.Table:
+        have = np.isin(
+            t["c_custkey"].to_numpy(zero_copy_only=False),
+            _worker_broadcast(keys_ref),
+        )
+        return t.filter(pa.array(~have))
 
     return customer.map_batches(
-        AntiJoin,
-        fn_constructor_args=(keys_ref,),
+        anti_join,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
     )
 
 
@@ -429,12 +426,12 @@ import functools
 
 
 @functools.lru_cache(maxsize=4)
-def _worker_region_map(ref):
+def _worker_broadcast(ref):
     return ray.get(ref)
 
 
 def _enrich_region(t: pa.Table, ref) -> pa.Table:
-    m = _worker_region_map(ref)
+    m = _worker_broadcast(ref)
     names = [m.get(k) for k in t["c_nationkey"].to_pylist()]
     return pa.table(
         {
@@ -742,6 +739,160 @@ FROM seq
 """
 
 
+# ---------------------------------------------------------------- quantiles
+def events_value_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact grouped quantiles (p50/p95 of value per event_type) —
+    the aggregate family (median/percentile) Ray Data has no built-in
+    for.  Shape: one hash exchange on the group key, then a vectorized
+    multi-group kernel (one lexsort + per-segment linear-interpolation
+    quantile, the ANSI PERCENTILE_CONT definition DuckDB's
+    quantile_cont implements).  Exact because a group's rows are
+    co-located; at web scale with huge groups the same pipeline takes
+    a t-digest/KLL partial instead of the exact kernel — the exchange
+    and kernel shape stay identical.
+
+    NULL values are dropped (SQL aggregate semantics)."""
+    from dedup_ray.core import partitioned_kernel
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "p50": pa.array([], pa.float64()),
+            "p95": pa.array([], pa.float64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        g = g.filter(pc.is_valid(g["value"]))
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        val = g["value"].to_numpy(zero_copy_only=False)
+        codes, inv = np.unique(et, return_inverse=True)
+        order = np.lexsort((val, inv))
+        vs, gs = val[order], inv[order]
+        from dedup_ray.core import segments
+
+        starts, lens = segments(gs)
+
+        def q_at(p: float) -> np.ndarray:
+            # PERCENTILE_CONT: linear interpolation at rank p*(n-1)
+            pos = starts + p * (lens - 1)
+            lo = np.floor(pos).astype(np.int64)
+            hi = np.minimum(lo + 1, starts + lens - 1)
+            frac = pos - lo
+            return vs[lo] * (1 - frac) + vs[hi] * frac
+
+        return pa.table(
+            {
+                "event_type": pa.array(codes[gs[starts]], type=pa.string()),
+                "p50": sql_round(pa.array(q_at(0.5), type=pa.float64()), 6),
+                "p95": sql_round(pa.array(q_at(0.95), type=pa.float64()), 6),
+                "n": pa.array(lens, type=pa.int64()),
+            }
+        )
+
+    from dedup_ray.core import hash_strings_u64
+
+    def type_key(t: pa.Table) -> np.ndarray:
+        # low-cardinality string key: hash the dictionary once per
+        # batch, gather — not one blake2b per row
+        d = pc.dictionary_encode(t["event_type"]).combine_chunks()
+        uh = hash_strings_u64(d.dictionary.to_pylist())
+        return uh[d.indices.to_numpy(zero_copy_only=False)]
+
+    return partitioned_kernel(
+        ds,
+        type_key,
+        kernel,
+        num_partitions=8,
+        empty_result=empty,
+    )
+
+
+EVENTS_VALUE_QUANTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       CAST(count(value) AS BIGINT)         AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+def distinct_users_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Exact grouped COUNT(DISTINCT): two-stage — per-batch
+    (event_type, user_id) dedup (combiner shrinks the exchange to
+    unique pairs), global pair dedup + count per type.  At web scale
+    the same shape degrades gracefully to a HyperLogLog partial with
+    identical exchange volume per unique pair."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    from dedup_ray.core import numeric_key_u64, partitioned_kernel
+
+    pairs = ds.map_batches(
+        lambda t: t.group_by(["event_type", "user_id"]).aggregate([]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    part_empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "partial": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        """A user's pairs all land here (user-keyed exchange), so a
+        partition-local pair-unique gives globally unique pairs; the
+        per-type partial counts then sum in a tiny global groupby —
+        never a per-group UDF over many groups (CLAUDE.md map_groups
+        trap)."""
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        codes, inv = np.unique(et, return_inverse=True)
+        pair = inv.astype(np.int64) * (uid.max(initial=0) + 2) + uid
+        _, first = np.unique(pair, return_index=True)
+        types_u, counts = np.unique(inv[first], return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(codes[types_u], type=pa.string()),
+                "partial": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    partials = partitioned_kernel(
+        pairs,
+        lambda t: numeric_key_u64(t, ["user_id"]),
+        kernel,
+        num_partitions=16,
+        empty_result=part_empty,
+    )
+    agg = partials.groupby("event_type").aggregate(
+        Sum("partial", alias_name="n_users")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_users": pc.cast(t["n_users"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+DISTINCT_USERS_BY_TYPE_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------- Q3 shape
 def tpch_q3_shipping(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q3 shape: customer ⨝ orders ⨝ lineitem with selective
@@ -781,7 +932,7 @@ def tpch_q3_shipping(sf_dir: str) -> ray.data.Dataset:
     bkeys_ref = ray.put(bkeys)
 
     def orders_side(t: pa.Table) -> pa.Table:
-        keys = _worker_region_map(bkeys_ref)  # lru-cached ray.get per worker
+        keys = _worker_broadcast(bkeys_ref)  # lru-cached ray.get per worker
         t = t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff)))
         ck = t["o_custkey"].to_numpy(zero_copy_only=False)
         if len(keys):
