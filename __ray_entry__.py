@@ -54,6 +54,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_shipping": rel.tpch_q3_shipping,
         "events_value_quantiles": rel.events_value_quantiles,
         "distinct_users_by_type": rel.distinct_users_by_type,
+        "tpch_q5_region_revenue": rel.tpch_q5_region_revenue,
+        "events_interarrival": rel.events_interarrival,
+        "orders_rollup": rel.orders_rollup,
+        "incremental_exact_dedup": xq.incremental_exact_dedup,
     }
     from dedup_ray.functions import text as tx
     from dedup_ray.stages import embedding as emb
@@ -66,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lang_id": tx.lang_id,
             "doc_fingerprint": tx.doc_fingerprint,
             "redact_text": tx.redact_text,
+            "word_topk": tx.word_topk,
             # --- embedding similarity search -------------------------
             "embedding_cosine_topk": emb.cosine_topk,
             "embedding_near_pairs": emb.cosine_near_pairs,
@@ -126,6 +131,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3_shipping": rel.TPCH_Q3_SHIPPING_SQL,
         "events_value_quantiles": rel.EVENTS_VALUE_QUANTILES_SQL,
         "distinct_users_by_type": rel.DISTINCT_USERS_BY_TYPE_SQL,
+        "tpch_q5_region_revenue": rel.TPCH_Q5_REGION_REVENUE_SQL,
+        "events_interarrival": rel.EVENTS_INTERARRIVAL_SQL,
+        "orders_rollup": rel.ORDERS_ROLLUP_SQL,
+        "incremental_exact_dedup": xq.INCREMENTAL_EXACT_DEDUP_SQL,
     }
     from dedup_ray.functions import text as tx
     from dedup_ray.stages import embedding as emb
@@ -135,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
             "token_count": tx.TOKEN_COUNT_SQL,
             "quality_score": tx.QUALITY_SCORE_SQL,
             "redact_text": tx.REDACT_TEXT_SQL,
+            "word_topk": tx.WORD_TOPK_SQL,
             "embedding_cosine_topk": emb.COSINE_TOPK_SQL,
             "embedding_near_pairs": emb.COSINE_NEAR_PAIRS_SQL,
             # exhaustive IVF (n_probe == n_lists) is exact, so the

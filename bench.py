@@ -83,6 +83,8 @@ def run_default() -> None:
         "embedding_ann_lsh",
         "embedding_ivf_topk",
         "embedding_dedup",
+        "word_topk",             # skewed-vocab aggregate (map-side combine)
+        "tpch_q5_region_revenue",  # 6-table join: 2 broadcasts + 1 exchange
     ]
     queries = entrymod.queries()
     # untimed warm-up: spawn the worker pool + import the library in

@@ -99,28 +99,40 @@ _STOPWORDS = {
 
 class LangId:
     """Heuristic language id (stopword-profile scoring) — profiles
-    built once per worker (lru_cache singleton; task stage)."""
+    built once per worker (lru_cache singleton; task stage).
+
+    Fully vectorized with semantics identical to the original per-row
+    loop (tokens = maximal [a-z]+ runs of the lowercased text; score =
+    number of tokens in the profile, duplicates counted; winner = the
+    first strictly-max language in profile order, 'unknown' on zero):
+    one regex split per batch, one ``is_in`` per language over the
+    flattened token column, per-row scores via bincount on the list
+    parent indices."""
 
     def __init__(self) -> None:
-        import re
-
-        self.word = re.compile(r"[a-zA-Z]+")
-        self.profiles = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+        self.langs = list(_STOPWORDS)
+        self.value_sets = [
+            pa.array(sorted(_STOPWORDS[lang]), pa.string()) for lang in self.langs
+        ]
+        # row label lookup: langs + trailing 'unknown' sentinel
+        self.labels = np.array(self.langs + ["unknown"])
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        preds = []
-        for text in t["text"].to_pylist():
-            toks = self.word.findall((text or "").lower())
-            if not toks:
-                preds.append("unknown")
-                continue
-            best_lang, best = "unknown", 0
-            for lang, prof in self.profiles.items():
-                score = sum(1 for w in toks if w in prof)
-                if score > best:
-                    best, best_lang = score, lang
-            preds.append(best_lang)
-        return pa.table({"url": t["url"], "lang_pred": pa.array(preds, pa.string())})
+        n = len(t)
+        lower = pc.utf8_lower(pc.coalesce(t["text"], ""))
+        toks = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        scores = np.zeros((len(self.langs), n), dtype=np.int64)
+        for i, vs in enumerate(self.value_sets):
+            hit = pc.is_in(flat, value_set=vs).to_numpy(zero_copy_only=False)
+            if hit.any():
+                scores[i] = np.bincount(parents[hit], minlength=n)
+        best = scores.argmax(axis=0)  # first max wins == profile order
+        idx = np.where(scores.max(axis=0) > 0, best, len(self.langs))
+        return pa.table(
+            {"url": t["url"], "lang_pred": pa.array(self.labels[idx], pa.string())}
+        )
 
 
 @functools.lru_cache(maxsize=1)
@@ -235,4 +247,57 @@ SELECT cast(doc_id AS varchar) AS url,
        cast(length(regexp_extract_all(coalesce(text, ''),
          '\+?\d[\d\- ]{7,}\d')) AS bigint)                             AS n_phones
 FROM documents
+"""
+
+
+# ---- vocabulary / token-frequency analysis --------------------------------
+
+
+def word_topk(sf_dir: str, k: int = 50) -> ray.data.Dataset:
+    """Global top-k token frequencies over the corpus — the
+    vocabulary-building / stopword-discovery primitive of a
+    training-data pipeline.
+
+    Scale shape: the vocabulary key is maximally skewed ('the' appears
+    in almost every document), so the exchange NEVER sees raw tokens —
+    each batch pre-aggregates to (word, count) partials (per-batch
+    pyarrow group_by), the global groupby moves at most |vocab| rows
+    per block, and only the tiny merged vocabulary reaches the sort.
+    Token definition matches ``token_count`` (split on single spaces,
+    empties kept) so both sides agree exactly."""
+    ds = documents_as_pages(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.coalesce(t["text"], ""), pattern=" ")
+        flat = pc.list_flatten(toks)
+        g = pa.table({"word": flat}).group_by(["word"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"word": g["word"], "n_part": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.groupby("word").aggregate(Sum("n_part", alias_name="n_raw"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if "word" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        return pa.table({"word": t["word"], "n": pc.cast(t["n_raw"], pa.int64())})
+
+    return (
+        merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["n", "word"], descending=[True, False])
+        .limit(k)
+    )
+
+
+WORD_TOPK_SQL = """
+SELECT w AS word, cast(count(*) AS bigint) AS n
+FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w FROM documents)
+GROUP BY w
+ORDER BY n DESC, word
+LIMIT 50
 """

@@ -1045,3 +1045,347 @@ GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
 """
+
+
+# ---------------------------------------------------------------- B21 multi-way join
+def tpch_q5_region_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q5 shape: region ⨝ nation ⨝ customer ⨝ orders ⨝ lineitem
+    ⨝ supplier, revenue per nation for orders whose customer and
+    supplier share an in-region nation.
+
+    Scale shape: region/nation/customer/supplier are all dimensions —
+    folded into TWO broadcast probe tables (custkey→nation for
+    in-region customers, suppkey→nation for in-region suppliers), so
+    the two fact tables stream map-only into ONE orderkey hash
+    exchange.  Inside a partition the orders⨝lineitem join is a
+    searchsorted probe (orderkey unique on the build side) and the
+    c_nationkey == s_nationkey predicate plus the per-nation revenue
+    sum collapse to a masked bincount over nation codes — partials of
+    at most n_nations rows per partition reach the tiny global
+    aggregate."""
+    from dedup_ray.core import numeric_key_u64, partitioned_kernel
+
+    lo = np.datetime64("1995-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    asia = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(asia)]
+    nat_keys = nat["n_nationkey"].to_numpy(dtype=np.int64)
+    nat_names = {int(k): str(v) for k, v in zip(nat_keys, nat["n_name"])}
+    in_region = np.zeros(int(nation["n_nationkey"].max()) + 1, dtype=bool)
+    in_region[nat_keys] = True
+
+    def _probe(keys_col, nats_col, df):
+        keys = df[keys_col].to_numpy(dtype=np.int64)
+        nats = df[nats_col].to_numpy(dtype=np.int64)
+        keep = in_region[nats]
+        keys, nats = keys[keep], nats[keep]
+        order = np.argsort(keys)
+        return keys[order], nats[order]
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    probes_ref = ray.put(
+        (_probe("c_custkey", "c_nationkey", cust), _probe("s_suppkey", "s_nationkey", supp))
+    )
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        (ck, cn), _ = _worker_broadcast(probes_ref)
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        )
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(ck, keys), max(len(ck) - 1, 0))
+        hit = (ck[idx] == keys) if len(ck) else np.zeros(len(keys), bool)
+        t = t.filter(pa.array(hit))
+        n = len(t)
+        return pa.table(
+            {
+                "okey": t["o_orderkey"],
+                "nat": pa.array(cn[idx[hit]], type=pa.int64()),
+                "revenue_part": pa.nulls(n, pa.float64()),
+                "is_order": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    def lineitem_side(t: pa.Table) -> pa.Table:
+        _, (sk, sn) = _worker_broadcast(probes_ref)
+        keys = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(sk, keys), max(len(sk) - 1, 0))
+        hit = (sk[idx] == keys) if len(sk) else np.zeros(len(keys), bool)
+        t = t.filter(pa.array(hit))
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        n = len(t)
+        return pa.table(
+            {
+                "okey": t["l_orderkey"],
+                "nat": pa.array(sn[idx[hit]], type=pa.int64()),
+                "revenue_part": rev,
+                "is_order": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(lineitem_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    partial_empty = pa.table(
+        {
+            "nat": pa.array([], pa.int64()),
+            "revenue_raw": pa.array([], pa.float64()),
+        }
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        is_ord = g["is_order"].to_numpy(zero_copy_only=False)
+        okey = g["okey"].to_numpy(zero_copy_only=False)
+        nat = g["nat"].to_numpy(zero_copy_only=False)
+        o_keys, o_nat = okey[is_ord], nat[is_ord]
+        oo = np.argsort(o_keys)
+        o_keys, o_nat = o_keys[oo], o_nat[oo]
+        l_keys, l_nat = okey[~is_ord], nat[~is_ord]
+        l_rev = g["revenue_part"].to_numpy(zero_copy_only=False)[~is_ord]
+        pos = np.minimum(np.searchsorted(o_keys, l_keys), max(len(o_keys) - 1, 0))
+        hit = (
+            (o_keys[pos] == l_keys) & (o_nat[pos] == l_nat)
+            if len(o_keys)
+            else np.zeros(len(l_keys), bool)
+        )
+        if not hit.any():
+            return partial_empty
+        sums = np.bincount(l_nat[hit], weights=l_rev[hit])
+        nz = np.flatnonzero(sums)
+        return pa.table(
+            {
+                "nat": pa.array(nz, type=pa.int64()),
+                "revenue_raw": pa.array(sums[nz], type=pa.float64()),
+            }
+        )
+
+    partials = partitioned_kernel(
+        orders.union(lines),
+        lambda t: numeric_key_u64(t, ["okey"]),
+        kernel,
+        num_partitions=64,
+        empty_result=partial_empty,
+    )
+    merged = partials.groupby("nat").aggregate(Sum("revenue_raw", alias_name="rev"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if "nat" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {"n_name": pa.array([], pa.string()), "revenue": pa.array([], pa.float64())}
+            )
+        names = [nat_names[int(k)] for k in t["nat"].to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "revenue": sql_round(t["rev"], 2),
+            }
+        )
+
+    return (
+        merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["revenue", "n_name"], descending=[True, False])
+    )
+
+
+TPCH_Q5_REGION_REVENUE_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------- B22 window (LAG)
+def events_interarrival(sf_dir: str) -> ray.data.Dataset:
+    """Per-user inter-arrival statistics: the LAG-window family.  Gaps
+    between consecutive events (ordered by ts, event_id) in integer
+    microseconds; users with a single event have no gaps and are
+    dropped (matching the SQL's WHERE gap IS NOT NULL).
+
+    Scale shape: one user_id hash exchange, then a single globally
+    vectorized kernel per partition — lexsort (user, ts, event_id),
+    np.diff within user segments, segment-reduced count/sum/max via
+    reduceat.  Integer-µs arithmetic keeps both sides bit-exact."""
+    from dedup_ray.core import numeric_key_u64, partitioned_kernel
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_gaps": pa.array([], pa.int64()),
+            "avg_gap_us": pa.array([], pa.float64()),
+            "max_gap_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, users))
+        u_s, t_s = users[order], ts[order]
+        n = len(u_s)
+        if n == 0:
+            return empty
+        same_user = np.zeros(n, dtype=bool)
+        same_user[1:] = u_s[1:] == u_s[:-1]
+        gaps = np.empty(n, dtype=np.int64)
+        gaps[1:] = t_s[1:] - t_s[:-1]
+        gap_idx = np.flatnonzero(same_user)
+        if len(gap_idx) == 0:
+            return empty
+        gu = u_s[gap_idx]
+        gv = gaps[gap_idx]
+        firsts = np.ones(len(gu), dtype=bool)
+        firsts[1:] = gu[1:] != gu[:-1]
+        starts = np.flatnonzero(firsts)
+        counts = np.diff(np.concatenate([starts, [len(gu)]]))
+        sums = np.add.reduceat(gv, starts)
+        maxs = np.maximum.reduceat(gv, starts)
+        avg = sums.astype(np.float64) / counts.astype(np.float64)
+        return pa.table(
+            {
+                "user_id": pa.array(gu[starts], pa.int64()),
+                "n_gaps": pa.array(counts, pa.int64()),
+                "avg_gap_us": sql_round(pa.array(avg, pa.float64()), 4),
+                "max_gap_us": pa.array(maxs, pa.int64()),
+            }
+        )
+
+    return partitioned_kernel(
+        ds,
+        lambda t: numeric_key_u64(t, ["user_id"]),
+        kernel,
+        num_partitions=16,
+        empty_result=empty,
+    )
+
+
+EVENTS_INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT user_id,
+         date_diff('microseconds',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       cast(count(gap_us) AS bigint) AS n_gaps,
+       round(avg(gap_us), 4)         AS avg_gap_us,
+       cast(max(gap_us) AS bigint)   AS max_gap_us
+FROM g
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------- B18 rollup
+def orders_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Multi-level aggregate (GROUP BY ROLLUP shape): per (status,
+    priority), per status subtotal, and grand total, with 'ALL'
+    sentinels for the rolled-up levels.
+
+    Scale shape: the fine-grained (status, priority) aggregate is the
+    only thing computed from the fact table (map-side partials →
+    small global groupby); the rollup levels are derived from the
+    ≤ |status|×|priority| fine rows in a single-partition finalize —
+    no second pass over the data."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
+        return pa.table(
+            {
+                "o_orderstatus": g["o_orderstatus"],
+                "o_orderpriority": g["o_orderpriority"],
+                "price_sum": g["o_totalprice_sum"],
+                "n_part": g["o_totalprice_count"],
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    fine = partials.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(
+        Sum("price_sum", alias_name="sum_raw"), Sum("n_part", alias_name="n_raw")
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        status = np.array(t["o_orderstatus"].to_pylist(), dtype=object)
+        prio = np.array(t["o_orderpriority"].to_pylist(), dtype=object)
+        sums = t["sum_raw"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ns = t["n_raw"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_s = list(status)
+        out_p = list(prio)
+        out_sum = list(sums)
+        out_n = list(ns)
+        for s in sorted(set(status)):
+            m = status == s
+            out_s.append(s)
+            out_p.append("ALL")
+            out_sum.append(float(sums[m].sum()))
+            out_n.append(int(ns[m].sum()))
+        out_s.append("ALL")
+        out_p.append("ALL")
+        out_sum.append(float(sums.sum()))
+        out_n.append(int(ns.sum()))
+        return pa.table(
+            {
+                "o_orderstatus": pa.array(out_s, pa.string()),
+                "o_orderpriority": pa.array(out_p, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "sum_price": sql_round(pa.array(out_sum, pa.float64()), 2),
+            }
+        )
+
+    return fine.repartition(1).map_batches(
+        rollup, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL')   AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       cast(count(*) AS bigint)         AS n,
+       round(sum(o_totalprice), 2)      AS sum_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
