@@ -33,7 +33,21 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="optional pages column used as keep-priority (lower wins)",
     )
+    p.add_argument(
+        "--input-format",
+        choices=("parquet", "jsonl", "csv"),
+        default="parquet",
+        help="pages input format (jsonl/csv are normalized to the "
+        "canonical pages schema at the read; parquet is the "
+        "production path — it alone supports column pruning)",
+    )
     args = p.parse_args(argv)
+    if args.input_format != "parquet" and args.priority_col not in (None, "priority"):
+        p.error(
+            "--priority-col with jsonl/csv input requires the column to "
+            "be named 'priority' (the normalizer keeps only canonical "
+            "pages columns)"
+        )
 
     import os
 
@@ -67,18 +81,35 @@ def main(argv: list[str] | None = None) -> int:
     cfg = DedupConfig(**kw)
 
     pages_loader = None
-    if cfg.priority_col:
+    if cfg.priority_col or args.input_format != "parquet":
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        from dedup_ray.sources.pages import PAGES_COLUMNS, read_pages_parquet
+        from dedup_ray.sources.pages import (
+            PAGES_COLUMNS,
+            read_pages_csv,
+            read_pages_jsonl,
+            read_pages_parquet,
+        )
         from dedup_ray.stages.extract import extract_text
 
         prio_col = cfg.priority_col
+        fmt = args.input_format
 
         def pages_loader(path):  # noqa: F811 — intentional closure
-            cols = list(dict.fromkeys(PAGES_COLUMNS + [prio_col]))
-            ds = extract_text(read_pages_parquet(path, columns=cols))
+            if fmt == "jsonl":
+                ds = read_pages_jsonl(path)
+            elif fmt == "csv":
+                ds = read_pages_csv(path)
+            else:
+                cols = list(
+                    dict.fromkeys(PAGES_COLUMNS + ([prio_col] if prio_col else []))
+                )
+                ds = read_pages_parquet(path, columns=cols)
+            ds = extract_text(ds)
+            # jsonl/csv normalization already yields an int64 priority
+            if not prio_col or fmt != "parquet":
+                return ds
 
             def set_priority(t: pa.Table) -> pa.Table:
                 prio = pc.cast(t[prio_col], pa.int64())

@@ -64,3 +64,90 @@ def documents_as_pages(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def read_pages_jsonl(
+    path: str | list[str],
+    *,
+    drop_html: bool = False,
+) -> ray.data.Dataset:
+    """Read a pages table from JSON-Lines shards (the raw form many
+    crawl dumps arrive in before Parquet conversion).  Normalizes to
+    the same schema ``read_pages_parquet`` yields: missing columns are
+    filled (html -> null binary, warc_ts -> parsed from an ISO-8601
+    string or null, lang -> null), extras are dropped, and the output
+    feeds every downstream stage unchanged.
+
+    Scale note: JSONL has no column pruning or row-group statistics —
+    the honest cost of the format.  Conversion to Parquet is a one-off
+    ``read_pages_jsonl(...).write_parquet(...)`` pipeline; production
+    runs should read the Parquet."""
+    ds = ray.data.read_json(path)
+    return ds.map_batches(
+        lambda t: _normalize_pages(t, drop_html=drop_html),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def read_pages_csv(
+    path: str | list[str],
+    *,
+    drop_html: bool = False,
+) -> ray.data.Dataset:
+    """Read a pages table from CSV shards.  CSV cannot carry binary
+    html; the column is filled with nulls.  Same normalization
+    contract as ``read_pages_jsonl``."""
+    ds = ray.data.read_csv(path)
+    return ds.map_batches(
+        lambda t: _normalize_pages(t, drop_html=drop_html),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _normalize_pages(batch: pa.Table, *, drop_html: bool) -> pa.Table:
+    """Coerce an arbitrary-schema batch to the canonical pages schema
+    (url/warc_ts/html/text/lang + priority), vectorized."""
+    n = len(batch)
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+    names = set(batch.column_names)
+
+    cols["url"] = (
+        pc.cast(batch["url"], pa.string()) if "url" in names else pa.nulls(n, pa.string())
+    )
+    if "warc_ts" in names:
+        ts = batch["warc_ts"]
+        if pa.types.is_timestamp(ts.type):
+            cols["warc_ts"] = ts.cast(pa.timestamp("us"))
+        else:
+            # ISO-8601 strings (JSONL/CSV carry timestamps as text)
+            cols["warc_ts"] = pc.strptime(
+                pc.cast(ts, pa.string()), format="%Y-%m-%dT%H:%M:%S", unit="us"
+            )
+    else:
+        cols["warc_ts"] = pa.nulls(n, pa.timestamp("us"))
+    if not drop_html:
+        if "html" in names:
+            h = batch["html"]
+            cols["html"] = (
+                h if pa.types.is_binary(h.type) else pc.cast(h, pa.binary())
+            )
+        else:
+            cols["html"] = pa.nulls(n, pa.binary())
+    cols["text"] = (
+        pc.cast(batch["text"], pa.string())
+        if "text" in names
+        else pa.nulls(n, pa.string())
+    )
+    cols["lang"] = (
+        pc.cast(batch["lang"], pa.string())
+        if "lang" in names
+        else pa.nulls(n, pa.string())
+    )
+    cols["priority"] = (
+        pc.cast(batch["priority"], pa.int64())
+        if "priority" in names
+        else pa.array([0] * n, type=pa.int64())
+    )
+    return pa.table(cols)

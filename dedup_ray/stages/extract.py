@@ -33,7 +33,22 @@ def extract_text_bytes(html: bytes) -> str:
 
 
 def _extract_batch(batch: pa.Table) -> pa.Table:
-    texts = [extract_text_bytes(h) for h in batch["html"].to_pylist()]
+    if "html" not in batch.column_names:
+        # corpus arrived pre-extracted (e.g. text-only JSONL/CSV or a
+        # drop_html read) — nothing to do
+        return batch
+    htmls = batch["html"].to_pylist()
+    prior = (
+        batch["text"].to_pylist()
+        if "text" in batch.column_names
+        else [None] * len(htmls)
+    )
+    # null html (a source without raw markup) keeps the pre-extracted
+    # text column untouched — byte-identity only binds where html exists
+    texts = [
+        extract_text_bytes(h) if h is not None else p
+        for h, p in zip(htmls, prior)
+    ]
     cols = {name: batch[name] for name in batch.column_names if name != "html"}
     cols["text"] = pa.array(texts, type=pa.string())
     # html is intentionally DROPPED here: the heavy binary column never

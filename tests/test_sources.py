@@ -1,0 +1,88 @@
+"""Source-format parity: the JSONL and CSV page readers must yield the
+same canonical pages schema as the Parquet reader, and the flagship
+must produce identical assignments regardless of which format the
+corpus arrived in."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dedup_ray.sources.pages import (
+    read_pages_csv,
+    read_pages_jsonl,
+    read_pages_parquet,
+)
+
+ROWS = [
+    {
+        "url": f"https://site{i % 3}.example/p/{i:04d}",
+        "warc_ts": f"2025-01-01T00:00:{i:02d}",
+        "text": ["alpha beta gamma", "alpha beta gamma", "delta epsilon"][i % 3],
+        "lang": "en",
+    }
+    for i in range(12)
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sources")
+    (root / "jsonl").mkdir()
+    (root / "csv").mkdir()
+    (root / "parquet").mkdir()
+    with open(root / "jsonl" / "part0.jsonl", "w") as f:
+        for r in ROWS:
+            f.write(json.dumps(r) + "\n")
+    with open(root / "csv" / "part0.csv", "w") as f:
+        f.write("url,warc_ts,text,lang\n")
+        for r in ROWS:
+            f.write(f"{r['url']},{r['warc_ts']},\"{r['text']}\",{r['lang']}\n")
+    t = pa.table(
+        {
+            "url": pa.array([r["url"] for r in ROWS], pa.string()),
+            "warc_ts": pa.array(
+                [r["warc_ts"] for r in ROWS], pa.string()
+            ).cast(pa.timestamp("us")),
+            "html": pa.nulls(len(ROWS), pa.binary()),
+            "text": pa.array([r["text"] for r in ROWS], pa.string()),
+            "lang": pa.array([r["lang"] for r in ROWS], pa.string()),
+        }
+    )
+    pq.write_table(t, root / "parquet" / "part0.parquet")
+    return root
+
+
+def _normalized(ds):
+    df = ds.to_pandas().sort_values("url", ignore_index=True)
+    return df
+
+
+def test_jsonl_csv_match_parquet(ray_session, corpus_dirs):
+    want = _normalized(read_pages_parquet(str(corpus_dirs / "parquet")))
+    got_j = _normalized(read_pages_jsonl(str(corpus_dirs / "jsonl")))
+    got_c = _normalized(read_pages_csv(str(corpus_dirs / "csv")))
+    for got in (got_j, got_c):
+        assert list(got.columns) == list(want.columns)
+        for col in ("url", "text", "lang", "priority", "warc_ts"):
+            assert got[col].tolist() == want[col].tolist(), col
+
+
+def test_flagship_identical_across_formats(ray_session, corpus_dirs):
+    from dedup_ray.config import DEFAULT_CONFIG
+    from dedup_ray.pipelines.flagship import flagship_assignments_from_pages
+
+    outs = {}
+    for name, reader, path in (
+        ("parquet", read_pages_parquet, "parquet"),
+        ("jsonl", read_pages_jsonl, "jsonl"),
+    ):
+        pages = reader(str(corpus_dirs / path), drop_html=True)
+        a = flagship_assignments_from_pages(pages, DEFAULT_CONFIG).to_pandas()
+        outs[name] = a.sort_values("url", ignore_index=True)[
+            ["url", "cluster_id", "is_canonical", "kind"]
+        ]
+    assert outs["parquet"].equals(outs["jsonl"])
+    # the triplicated text forms exact clusters
+    assert (~outs["parquet"]["is_canonical"]).sum() > 0
