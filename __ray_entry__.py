@@ -93,6 +93,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["embedding_ivf_topk_exhaustive"] = lambda sf: ivf.ivf_topk(
         sf, n_lists=16, n_probe=16
     )
+    # scale-path embedding clustering via IVF lists (rows-only +
+    # pytest agreement, like the ann_lsh variant); n_probe=6 is the
+    # measured >=0.98-pair-recall setting on the loose fixture
+    # threshold (test_embedding_dedup_sources.py)
+    q["embedding_dedup_ivf"] = lambda sf: emb.embedding_dedup(
+        sf, pairs_source="ivf", n_probe=6
+    )
+    from dedup_ray.pipelines import media_queries as mq
+
+    q.update(mq.QUERIES)
     try:  # near-dup layer registers once implemented (rows-only checks)
         from dedup_ray.pipelines import neardup_queries as nq
 
