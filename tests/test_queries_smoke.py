@@ -27,6 +27,9 @@ EXPECT_COLS = {
     # scale-path clustering (LSH pair source): covered in depth by
     # tests/test_embedding_dedup_sources.py
     "embedding_dedup_ann": {"vec_id", "cluster_id"},
+    "embedding_dedup_ivf": {"vec_id", "cluster_id"},
+    "image_decode_stats": {"url", "width", "height", "channels", "lum_mean"},
+    "audio_decode_stats": {"url", "sample_rate", "n_samples", "spectral_centroid"},
 }
 
 # heavy pipelines (full flagship / edge lists) are exercised by
