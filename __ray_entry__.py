@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival": rel.events_interarrival,
         "orders_rollup": rel.orders_rollup,
         "incremental_exact_dedup": xq.incremental_exact_dedup,
+        "length_histogram": xq.length_histogram,
+        "dedup_rate_by_source": xq.dedup_rate_by_source,
     }
     from dedup_ray.functions import text as tx
     from dedup_ray.stages import embedding as emb
@@ -71,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_fingerprint": tx.doc_fingerprint,
             "redact_text": tx.redact_text,
             "word_topk": tx.word_topk,
+            "repetition_stats": tx.repetition_stats,
             # --- embedding similarity search -------------------------
             "embedding_cosine_topk": emb.cosine_topk,
             "embedding_near_pairs": emb.cosine_near_pairs,
@@ -145,6 +148,8 @@ def oracle_sql() -> dict[str, str]:
         "events_interarrival": rel.EVENTS_INTERARRIVAL_SQL,
         "orders_rollup": rel.ORDERS_ROLLUP_SQL,
         "incremental_exact_dedup": xq.INCREMENTAL_EXACT_DEDUP_SQL,
+        "length_histogram": xq.LENGTH_HISTOGRAM_SQL,
+        "dedup_rate_by_source": xq.DEDUP_RATE_BY_SOURCE_SQL,
     }
     from dedup_ray.functions import text as tx
     from dedup_ray.stages import embedding as emb
@@ -153,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         {
             "token_count": tx.TOKEN_COUNT_SQL,
             "quality_score": tx.QUALITY_SCORE_SQL,
+            "repetition_stats": tx.REPETITION_STATS_SQL,
             "redact_text": tx.REDACT_TEXT_SQL,
             "word_topk": tx.WORD_TOPK_SQL,
             "embedding_cosine_topk": emb.COSINE_TOPK_SQL,

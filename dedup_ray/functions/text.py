@@ -301,3 +301,59 @@ GROUP BY w
 ORDER BY n DESC, word
 LIMIT 50
 """
+
+
+# ---- repetition / lexical-diversity filter ---------------------------------
+
+
+def repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-document duplicate-token fraction — the lexical-diversity
+    (type/token-ratio) member of the Gopher-style repetition-filter
+    family.  Documents whose token stream is dominated by repeats are
+    boilerplate/spam candidates a training-data pipeline drops.
+
+    Vectorized distinct-per-list kernel: tokens are dictionary-encoded
+    once per batch (exact string identity — no hashing, no collision
+    risk), then distinct counts per document fall out of one
+    ``np.unique`` over a (row, code) composite key.  Embarrassingly
+    parallel — no exchange."""
+    ds = documents_as_pages(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        text = pc.coalesce(t["text"], "").combine_chunks()
+        toks = pc.split_pattern(text, pattern=" ")
+        n = len(t)
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if len(flat):
+            codes = (
+                pc.dictionary_encode(flat).indices.to_numpy().astype(np.int64)
+            )
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            span = np.int64(codes.max()) + 1
+            uniq = np.unique(rows * span + codes)
+            n_distinct = np.bincount(uniq // span, minlength=n)
+        else:
+            n_distinct = np.zeros(n, dtype=np.int64)
+        # split('') -> [''] so lens >= 1 always; no div-by-zero
+        frac = (lens - n_distinct) / lens
+        return pa.table(
+            {
+                "url": t["url"],
+                "n_tokens": pa.array(lens, pa.int64()),
+                "n_distinct_tokens": pa.array(n_distinct, pa.int64()),
+                "dup_token_frac": sql_round(pa.array(frac, pa.float64()), 4),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+REPETITION_STATS_SQL = """
+SELECT cast(doc_id AS varchar) AS url,
+       cast(length(toks) AS bigint)                AS n_tokens,
+       cast(length(list_distinct(toks)) AS bigint) AS n_distinct_tokens,
+       round((length(toks) - length(list_distinct(toks)))
+             / cast(length(toks) AS double), 4)    AS dup_token_frac
+FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents)
+"""

@@ -241,3 +241,209 @@ SELECT url,
             ELSE 'new' END AS verdict
 FROM newd
 """
+
+
+# ---- corpus length distribution --------------------------------------------
+
+
+def length_histogram(sf_dir: str, bucket_width: int = 100) -> ray.data.Dataset:
+    """Document-length histogram (fixed-width char buckets) — the
+    corpus-profiling step that sizes length filters before a training
+    run.  Scale shape: per-batch partials (one row per occupied bucket
+    per block), then a tiny global groupby — raw rows never reach the
+    exchange."""
+    import numpy as np
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = nc // bucket_width
+        ub, inv = np.unique(b, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        tot = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(tot, inv, nc)
+        mn = np.full(len(ub), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, nc)
+        mx = np.full(len(ub), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, nc)
+        return pa.table(
+            {
+                "bucket": pa.array(ub, pa.int64()),
+                "n_docs": pa.array(n, pa.int64()),
+                "total_chars": pa.array(tot, pa.int64()),
+                "min_chars": pa.array(mn, pa.int64()),
+                "max_chars": pa.array(mx, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby("bucket").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_chars", alias_name="total_chars"),
+        Min("min_chars", alias_name="min_chars"),
+        Max("max_chars", alias_name="max_chars"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if "bucket" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "total_chars": pa.array([], pa.int64()),
+                    "min_chars": pa.array([], pa.int64()),
+                    "max_chars": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "bucket": pc.cast(t["bucket"], pa.int64()),
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "total_chars": pc.cast(t["total_chars"], pa.int64()),
+                "min_chars": pc.cast(t["min_chars"], pa.int64()),
+                "max_chars": pc.cast(t["max_chars"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+LENGTH_HISTOGRAM_SQL = """
+SELECT cast(n_chars // 100 AS bigint)  AS bucket,
+       cast(count(*) AS bigint)        AS n_docs,
+       cast(sum(n_chars) AS bigint)    AS total_chars,
+       cast(min(n_chars) AS bigint)    AS min_chars,
+       cast(max(n_chars) AS bigint)    AS max_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---- dup-rate health metric per source -------------------------------------
+
+
+def dedup_rate_by_source(sf_dir: str) -> ray.data.Dataset:
+    """Exact-duplicate rate per source shard — the pipeline-health
+    metric a crawl operator watches (which feeds are mostly mirrors?).
+
+    Scale shape: the per-source aggregate is FUSED into the sha
+    exchange — the winner-selection kernel emits (source, n_docs,
+    n_dup_docs) partials directly, so the only shuffle is the one the
+    dedup itself already needs, and the global groupby moves a handful
+    of rows per partition."""
+    import numpy as np
+
+    from dedup_ray.core import partitioned_kernel
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": pc.cast(t["doc_id"], pa.string()),
+                "text": t["text"],
+                "source": t["source"],
+                "priority": pa.array([0] * len(t), pa.int64()),
+            }
+        )
+
+    hashed = add_content_sha256(
+        ds.map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "n_part": pa.array([], pa.int64()),
+            "dup_part": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        # same winner rule as exact_dedup (min (priority, url) per sha)
+        shas = np.array(g["content_sha256"].to_pylist(), dtype=object)
+        urls = np.array(g["url"].to_pylist(), dtype=object)
+        prio = g["priority"].to_numpy(zero_copy_only=False)
+        _, inv = np.unique(shas, return_inverse=True)
+        order = np.lexsort((urls, prio, inv))
+        is_dup_sorted = np.ones(len(g), dtype=bool)
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = inv[order][1:] != inv[order][:-1]
+        is_dup_sorted[first] = False
+        is_dup = np.empty(len(g), dtype=bool)
+        is_dup[order] = is_dup_sorted
+        src = np.array(g["source"].to_pylist(), dtype=object)
+        usrc, sinv = np.unique(src, return_inverse=True)
+        n = np.bincount(sinv).astype(np.int64)
+        d = np.bincount(sinv, weights=is_dup).astype(np.int64)
+        return pa.table(
+            {
+                "source": pa.array(usrc.tolist(), pa.string()),
+                "n_part": pa.array(n, pa.int64()),
+                "dup_part": pa.array(d, pa.int64()),
+            }
+        )
+
+    from dedup_ray.config import DEFAULT_CONFIG
+
+    partials = partitioned_kernel(
+        hashed,
+        lambda t: t["sha_u64"].to_numpy(zero_copy_only=False).view(np.uint64),
+        kernel,
+        num_partitions=DEFAULT_CONFIG.num_partitions,
+        empty_result=empty,
+    )
+    agg = partials.groupby("source").aggregate(
+        Sum("n_part", alias_name="n_docs"),
+        Sum("dup_part", alias_name="n_dup_docs"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if "source" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_dup_docs": pa.array([], pa.int64()),
+                    "dup_rate": pa.array([], pa.float64()),
+                }
+            )
+        from dedup_ray.functions.scalar import sql_round
+
+        n = pc.cast(t["n_docs"], pa.int64())
+        d = pc.cast(t["n_dup_docs"], pa.int64())
+        rate = pc.divide(pc.cast(d, pa.float64()), pc.cast(n, pa.float64()))
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": n,
+                "n_dup_docs": d,
+                "dup_rate": sql_round(rate, 4),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DEDUP_RATE_BY_SOURCE_SQL = """
+WITH w AS (
+  SELECT source,
+         (row_number() OVER (PARTITION BY sha256(coalesce(text, ''))
+                             ORDER BY cast(doc_id AS varchar)) > 1) AS is_dup
+  FROM documents
+)
+SELECT source,
+       cast(count(*) AS bigint)                                AS n_docs,
+       cast(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS bigint) AS n_dup_docs,
+       round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)
+             / cast(count(*) AS double), 4)                    AS dup_rate
+FROM w
+GROUP BY source
+"""
