@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "redact_text": tx.redact_text,
             "word_topk": tx.word_topk,
             "repetition_stats": tx.repetition_stats,
+            "quality_filter_verdicts": tx.quality_filter_verdicts,
             # --- embedding similarity search -------------------------
             "embedding_cosine_topk": emb.cosine_topk,
             "embedding_near_pairs": emb.cosine_near_pairs,
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
             "token_count": tx.TOKEN_COUNT_SQL,
             "quality_score": tx.QUALITY_SCORE_SQL,
             "repetition_stats": tx.REPETITION_STATS_SQL,
+            "quality_filter_verdicts": tx.QUALITY_FILTER_VERDICTS_SQL,
             "redact_text": tx.REDACT_TEXT_SQL,
             "word_topk": tx.WORD_TOPK_SQL,
             "embedding_cosine_topk": emb.COSINE_TOPK_SQL,

@@ -357,3 +357,83 @@ SELECT cast(doc_id AS varchar) AS url,
              / cast(length(toks) AS double), 4)    AS dup_token_frac
 FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents)
 """
+
+
+# ---- composite keep/drop quality filter ------------------------------------
+
+
+def quality_filter_verdicts(sf_dir: str) -> ray.data.Dataset:
+    """The C4/Gopher-style filter chain a training-data pipeline runs
+    end-to-end: per document, a keep/drop verdict plus the FIRST rule
+    that fired (precedence: too_short -> bad_token_len -> repetitive ->
+    bad_lang).  All signals reuse the vectorized kernels of
+    ``quality_score`` / ``repetition_stats``; embarrassingly parallel.
+
+    Thresholds (the user-extension surface a real pipeline tunes):
+    >= 20 tokens, mean token length in [3.0, 5.2], duplicate-token
+    fraction <= 0.6, lang in {en, de, fr}."""
+    ds = documents_as_pages(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        text = pc.coalesce(t["text"], "").combine_chunks()
+        toks = pc.split_pattern(text, pattern=" ")
+        n = len(t)
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if len(flat):
+            codes = pc.dictionary_encode(flat).indices.to_numpy().astype(np.int64)
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            span = np.int64(codes.max()) + 1
+            uniq = np.unique(rows * span + codes)
+            n_distinct = np.bincount(uniq // span, minlength=n)
+        else:
+            n_distinct = np.zeros(n, dtype=np.int64)
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
+        # identical operand order to the SQL so float compares agree
+        avg_tok = (n_chars - (lens - 1)) / lens
+        dup_frac = (lens - n_distinct) / lens
+        lang = pc.coalesce(t["lang"], "").to_numpy(zero_copy_only=False)
+        lang_ok = np.isin(lang, np.array(["en", "de", "fr"], dtype=object))
+
+        too_short = lens < 20
+        bad_tok = (avg_tok < 3.0) | (avg_tok > 5.2)
+        repetitive = dup_frac > 0.6
+        reason = np.full(n, "kept", dtype=object)
+        reason[~lang_ok] = "bad_lang"
+        reason[repetitive] = "repetitive"
+        reason[bad_tok] = "bad_token_len"
+        reason[too_short] = "too_short"
+        keep = ~(too_short | bad_tok | repetitive | ~lang_ok)
+        return pa.table(
+            {
+                "url": t["url"],
+                "keep": pa.array(keep),
+                "reason": pa.array(reason.tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUALITY_FILTER_VERDICTS_SQL = """
+WITH q AS (
+  SELECT cast(doc_id AS varchar) AS url,
+         coalesce(lang, '') AS lng,
+         length(string_split(coalesce(text, ''), ' ')) AS n_tokens,
+         (length(coalesce(text, '')) - (length(string_split(coalesce(text, ''), ' ')) - 1))
+             / cast(length(string_split(coalesce(text, ''), ' ')) AS double) AS avg_tok,
+         (length(string_split(coalesce(text, ''), ' '))
+             - length(list_distinct(string_split(coalesce(text, ''), ' '))))
+             / cast(length(string_split(coalesce(text, ''), ' ')) AS double) AS dup_frac
+  FROM documents
+)
+SELECT url,
+       (n_tokens >= 20 AND avg_tok >= 3.0 AND avg_tok <= 5.2
+        AND dup_frac <= 0.6 AND lng IN ('en', 'de', 'fr'))    AS keep,
+       CASE WHEN n_tokens < 20                  THEN 'too_short'
+            WHEN avg_tok < 3.0 OR avg_tok > 5.2 THEN 'bad_token_len'
+            WHEN dup_frac > 0.6                 THEN 'repetitive'
+            WHEN lng NOT IN ('en', 'de', 'fr')  THEN 'bad_lang'
+            ELSE 'kept' END                                    AS reason
+FROM q
+"""
