@@ -85,6 +85,7 @@ def run_default() -> None:
         "embedding_dedup",
         "word_topk",             # skewed-vocab aggregate (map-side combine)
         "tpch_q5_region_revenue",  # 6-table join: 2 broadcasts + 1 exchange
+        "quality_filter_verdicts",  # C4-style keep/drop filter chain
     ]
     queries = entrymod.queries()
     # untimed warm-up: spawn the worker pool + import the library in
