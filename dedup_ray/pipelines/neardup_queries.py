@@ -179,6 +179,69 @@ def ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     return exact_jaccard_edges(pairs, winners, DEFAULT_CONFIG)
 
 
+def jaccard_dedup(sf_dir: str) -> ray.data.Dataset:
+    """N-gram-Jaccard dedup clustering: connected components over the
+    EXACT-Jaccard-verified edge set (``ngram_jaccard_pairs``), every
+    winner doc labeled with its component's min url (singletons label
+    themselves) — the clustering counterpart of the pair query, same
+    composition shape as the flagship but with true-Jaccard edges.
+
+    Scale shape: the cluster map stays a Dataset (components_dataset —
+    dup-incident nodes are not broadcastable at 10^12 docs) and label
+    attach is ONE node-keyed hash exchange over slim string rows."""
+    import numpy as np
+
+    from dedup_ray.core import hash_strings_u64, partitioned_kernel
+    from dedup_ray.state.unionfind import components_dataset
+
+    comp = components_dataset(ngram_jaccard_pairs(sf_dir))
+    nodes = _winners(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["url"],
+                "cluster_id": pa.array([None] * len(t), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    empty = pa.table(
+        {
+            "url": pa.array([], pa.string()),
+            "jaccard_cluster": pa.array([], pa.string()),
+        }
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        nodes_ = np.array(g["node"].to_pylist(), dtype=object)
+        labels = np.array(g["cluster_id"].to_pylist(), dtype=object)
+        isnull = np.array([x is None for x in labels])
+        # per node: the labeled (component) row sorts first if present
+        order = np.lexsort((isnull, nodes_))
+        n_, l_ = nodes_[order], labels[order]
+        first = np.ones(len(n_), dtype=bool)
+        first[1:] = n_[1:] != n_[:-1]
+        idx = np.flatnonzero(first)
+        lab = l_[idx]
+        none_mask = np.array([x is None for x in lab])
+        lab[none_mask] = n_[idx][none_mask]
+        return pa.table(
+            {
+                "url": pa.array(n_[idx], pa.string()),
+                "jaccard_cluster": pa.array(lab, pa.string()),
+            }
+        )
+
+    tall = nodes.union(comp)
+    return partitioned_kernel(
+        tall,
+        lambda t: hash_strings_u64(t["node"].to_pylist()),
+        kernel,
+        num_partitions=DEFAULT_CONFIG.num_partitions,
+        empty_result=empty,
+    )
+
+
 def sample_pages(sf_dir: str) -> ray.data.Dataset:
     """Deterministic ~10% sample (SURVEY B20): hash(url) % 10 == 0.
     Unlike random_sample(seed=...), the selected ROWS are a pure
@@ -255,6 +318,7 @@ QUERIES = {
     "minhash_edge_list": minhash_edge_list,
     "substring_edge_list": substring_edge_list,
     "simhash_dedup": simhash_dedup,
+    "jaccard_dedup": jaccard_dedup,
 }
 
 ORACLE_SQL: dict[str, str] = {

@@ -20,6 +20,7 @@ EXPECT_COLS = {
     "minhash_edge_list": {"u", "v", "kind", "score"},
     "substring_edge_list": {"u", "v", "kind", "score"},
     "simhash_dedup": {"url", "simhash_cluster"},
+    "jaccard_dedup": {"url", "jaccard_cluster"},
     "lang_id": {"url", "lang_pred"},
     "doc_fingerprint": {"url", "n_fingerprints", "min_fingerprint"},
     "embedding_ann_lsh": {"id_a", "id_b"},
