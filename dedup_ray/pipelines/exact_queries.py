@@ -11,6 +11,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count
 
+from dedup_ray.config import DEFAULT_CONFIG
 from dedup_ray.sources.pages import documents_as_pages
 from dedup_ray.stages.exact import dup_stats, exact_dedup_groups, topk_largest_groups
 from dedup_ray.stages.hashing import add_content_sha256
@@ -213,7 +214,7 @@ def incremental_exact_dedup(sf_dir: str) -> ray.data.Dataset:
         tall_ds,
         lambda t: t["sha_key"].to_numpy(zero_copy_only=False).view(np.uint64),
         kernel,
-        num_partitions=16,
+        num_partitions=DEFAULT_CONFIG.num_partitions,
         empty_result=empty,
     )
 

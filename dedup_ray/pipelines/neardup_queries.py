@@ -214,17 +214,18 @@ def jaccard_dedup(sf_dir: str) -> ray.data.Dataset:
 
     def kernel(g: pa.Table) -> pa.Table:
         nodes_ = np.array(g["node"].to_pylist(), dtype=object)
-        labels = np.array(g["cluster_id"].to_pylist(), dtype=object)
-        isnull = np.array([x is None for x in labels])
+        cl = g["cluster_id"].combine_chunks()
+        # null masks from the Arrow validity bitmap — no per-row Python
+        # on this hash-exchange hot path (ADVICE r03)
+        isnull = pc.is_null(cl).to_numpy(zero_copy_only=False)
+        labels = np.array(cl.to_pylist(), dtype=object)
         # per node: the labeled (component) row sorts first if present
         order = np.lexsort((isnull, nodes_))
-        n_, l_ = nodes_[order], labels[order]
+        n_, l_, null_ = nodes_[order], labels[order], isnull[order]
         first = np.ones(len(n_), dtype=bool)
         first[1:] = n_[1:] != n_[:-1]
         idx = np.flatnonzero(first)
-        lab = l_[idx]
-        none_mask = np.array([x is None for x in lab])
-        lab[none_mask] = n_[idx][none_mask]
+        lab = np.where(null_[idx], n_[idx], l_[idx])
         return pa.table(
             {
                 "url": pa.array(n_[idx], pa.string()),
@@ -247,13 +248,17 @@ def sample_pages(sf_dir: str) -> ray.data.Dataset:
     Unlike random_sample(seed=...), the selected ROWS are a pure
     function of content — invariant to block layout and run order, so
     the driver's rows-only check is stable."""
-    from dedup_ray.stages.lsh import hash_url
+    import numpy as np
+
+    from dedup_ray.util import hash_urls_u64
 
     ds = documents_as_pages(sf_dir)
 
     def pick(t: pa.Table) -> pa.Table:
-        keep = pa.array([hash_url(u) % 10 == 0 for u in t["url"].to_pylist()])
-        return t.filter(keep)
+        # batched hash (one helper call per batch, vectorized modulo) —
+        # bit-identical to per-url hash_url (same blake2b-8 digest)
+        h = hash_urls_u64(t["url"].to_pylist())
+        return t.filter(pa.array(h % np.uint64(10) == 0))
 
     return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -589,10 +589,17 @@ def embedding_dedup(
     identical across sources; only pair RECALL differs (tested >= 0.98
     agreement on the fixtures, tests/test_embedding_dedup_sources.py).
 
-    The cluster map covers only pair-incident vectors (tiny vs corpus)
-    and is broadcast via ray.put into a stateless vectorized relabel —
-    same join-free shape as the flagship's cluster_assign."""
-    from dedup_ray.state.unionfind import connected_components
+    Scale shape (ALL sources — r3 VERDICT item 1): the cluster map
+    stays a Dataset (``components_dataset``) and label attach is ONE
+    vec_id-keyed hash exchange over slim int64 rows — same composition
+    as ``jaccard_dedup``/the flagship tail.  Zero ``ray.get`` of a
+    cluster map anywhere: at 10^12 vectors with a high dup rate the
+    pair-incident node set is a large fraction of the corpus, so a
+    driver dict + ray.put broadcast is a driver materialization."""
+    import pyarrow.compute as _pc
+
+    from dedup_ray.core import partitioned_kernel, segments as _segments
+    from dedup_ray.state.unionfind import components_dataset
 
     if pairs_source == "exact":
         pairs = cosine_near_pairs(sf_dir, threshold=threshold, **source_kwargs)
@@ -604,41 +611,81 @@ def embedding_dedup(
         pairs = ivf_near_pairs(sf_dir, threshold=threshold, **source_kwargs)
     else:
         raise ValueError(f"unknown pairs_source: {pairs_source!r}")
-    mapping = connected_components(pairs, u_col="id_a", v_col="id_b")
-    if mapping:
-        keys = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
-        vals = np.fromiter(mapping.values(), dtype=np.int64, count=len(mapping))
-        o = np.argsort(keys)
-        ref = ray.put((keys[o], vals[o]))
-    else:
-        ref = ray.put((np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)))
 
-    def relabel(t: pa.Table) -> pa.Table:
-        keys, vals = _worker_map(ref)
-        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cluster = ids.copy()
-        if len(keys):
-            idx = np.minimum(np.searchsorted(keys, ids), len(keys) - 1)
-            found = keys[idx] == ids
-            cluster[found] = vals[idx[found]]
+    comp = components_dataset(pairs, u_col="id_a", v_col="id_b")
+
+    tall_empty = pa.table(
+        {
+            "node": pa.array([], type=pa.int64()),
+            "cluster_id": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def member_rows(t: pa.Table) -> pa.Table:
+        if "vec_id" not in t.column_names or len(t) == 0:
+            return tall_empty
         return pa.table(
             {
-                "vec_id": pa.array(ids, type=pa.int64()),
-                "cluster_id": pa.array(cluster, type=pa.int64()),
+                "node": t["vec_id"],
+                "cluster_id": pa.nulls(len(t), type=pa.int64()),
             }
         )
 
-    return ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
-    ).map_batches(relabel, batch_format="pyarrow", zero_copy_batch=True)
+    def comp_rows(t: pa.Table) -> pa.Table:
+        if "node" not in t.column_names or len(t) == 0:
+            return tall_empty
+        return pa.table(
+            {
+                "node": _pc.cast(t["node"], pa.int64()),
+                "cluster_id": _pc.cast(t["cluster_id"], pa.int64()),
+            }
+        )
 
+    tall = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        .map_batches(member_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .union(comp.map_batches(comp_rows, batch_format="pyarrow", zero_copy_batch=True))
+    )
 
-import functools as _functools
+    out_empty = pa.table(
+        {
+            "vec_id": pa.array([], type=pa.int64()),
+            "cluster_id": pa.array([], type=pa.int64()),
+        }
+    )
 
+    def relabel_kernel(g: pa.Table) -> pa.Table:
+        """Per node (<= 2 rows: the member row with null cluster, plus
+        at most one component row): emit one row per MEMBER node with
+        the component label when present, else self.  Null masks come
+        from the Arrow validity bitmap — no per-row Python."""
+        nodes = g["node"].to_numpy(zero_copy_only=False)
+        cl = g["cluster_id"].combine_chunks()
+        isnull = _pc.is_null(cl).to_numpy(zero_copy_only=False)
+        clv = _pc.fill_null(cl, 0).to_numpy(zero_copy_only=False)
+        order = np.lexsort((isnull, nodes))  # labeled row sorts first
+        n_s, null_s, cl_s = nodes[order], isnull[order], clv[order]
+        starts, lens = _segments(n_s)
+        # a segment is a member iff its LAST row is the null member row
+        last = starts + lens - 1
+        has_member = null_s[last]
+        firsts = starts[has_member]
+        node_out = n_s[firsts]
+        lab = np.where(null_s[firsts], node_out, cl_s[firsts])
+        return pa.table(
+            {
+                "vec_id": pa.array(node_out, type=pa.int64()),
+                "cluster_id": pa.array(lab, type=pa.int64()),
+            }
+        )
 
-@_functools.lru_cache(maxsize=8)
-def _worker_map(ref):
-    return ray.get(ref)
+    return partitioned_kernel(
+        tall,
+        lambda t: t["node"].to_numpy(zero_copy_only=False).view(np.uint64),
+        relabel_kernel,
+        num_partitions=32,
+        empty_result=out_empty,
+    )
 
 
 #: connected components in ANSI SQL: recursive transitive closure over

@@ -354,7 +354,7 @@ def bucket_candidate_pairs(
         hot_rows,
         lambda t: numeric_key_u64(t, _SALTED_KEY_COLS),
         rep_kernel,
-        num_partitions=16,
+        num_partitions=num_partitions or cfg.num_partitions,
         empty_result=rep_empty,
     )
 
@@ -375,7 +375,7 @@ def bucket_candidate_pairs(
         reps,
         lambda t: numeric_key_u64(t, _BUCKET_KEY_COLS),
         star_kernel,
-        num_partitions=16,
+        num_partitions=num_partitions or cfg.num_partitions,
         empty_result=_EMPTY_PAIRS,
     )
     return pairs.union(rep_pairs)

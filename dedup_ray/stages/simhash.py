@@ -148,6 +148,6 @@ def simhash_hamming_pairs(
             [f"{a}\x00{b}" for a, b in zip(t["u"].to_pylist(), t["v"].to_pylist())]
         ),
         uniq,
-        num_partitions=16,
+        num_partitions=cfg.num_partitions,
         empty_result=_EMPTY,
     )
