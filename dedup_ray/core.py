@@ -192,6 +192,131 @@ def partitioned_kernel(
     return ray.data.from_arrow_refs(out_refs)
 
 
+def parquet_num_rows(path: str) -> int:
+    """Row count from parquet FILE METADATA — no column scan.  The
+    broadcast-vs-exchange join gate reads this so deciding the plan
+    costs one footer read."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+_JKEY = "_jkey"
+_JSLOT = "_jslot"
+
+
+def exchange_join_unique_dim(
+    fact: ray.data.Dataset,
+    dim: ray.data.Dataset,
+    *,
+    fact_key: str,
+    dim_key: str,
+    fact_fields: list[tuple[str, pa.DataType]],
+    dim_fields: list[tuple[str, pa.DataType]],
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Distributed inner join fact ⨝ dim on a UNIQUE-key dimension via
+    ONE key-hash exchange — the above-cap fallback when the dimension
+    no longer fits a ray.put broadcast probe (r3 VERDICT item 3).
+
+    Both sides union into the same partitioned kernel as slim tall rows
+    (int64 join key + their payload columns, the other side's columns
+    null); inside a partition the join is a vectorized searchsorted
+    probe against the partition's dim keys (all rows of one key are
+    co-located by the exchange).  Output columns: ``fact_fields`` +
+    ``dim_fields`` for matched fact rows (inner semantics; with
+    ``dim_fields=[]`` this is a semi-join filter).  ``Dataset.join`` is
+    avoided per the Ray 2.49 chained-join defect (CLAUDE.md)."""
+    fact_names = [n for n, _ in fact_fields]
+    dim_names = [n for n, _ in dim_fields]
+    tall_empty = pa.table(
+        {
+            _JKEY: pa.array([], type=pa.int64()),
+            _JSLOT: pa.array([], type=pa.int32()),
+            **{n: pa.array([], type=ty) for n, ty in fact_fields},
+            **{n: pa.array([], type=ty) for n, ty in dim_fields},
+        }
+    )
+
+    def fact_rows(t: pa.Table) -> pa.Table:
+        if fact_key not in t.column_names or len(t) == 0:
+            return tall_empty
+        import pyarrow.compute as pc
+
+        n = len(t)
+        cols = {
+            _JKEY: pc.cast(t[fact_key], pa.int64()),
+            _JSLOT: pa.array(np.ones(n, dtype=np.int32)),
+        }
+        for name, _ty in fact_fields:
+            cols[name] = t[name]
+        for name, ty in dim_fields:
+            cols[name] = pa.nulls(n, type=ty)
+        return pa.table(cols)
+
+    def dim_rows(t: pa.Table) -> pa.Table:
+        if dim_key not in t.column_names or len(t) == 0:
+            return tall_empty
+        import pyarrow.compute as pc
+
+        n = len(t)
+        cols = {
+            _JKEY: pc.cast(t[dim_key], pa.int64()),
+            _JSLOT: pa.array(np.zeros(n, dtype=np.int32)),
+        }
+        for name, ty in fact_fields:
+            cols[name] = pa.nulls(n, type=ty)
+        for name, _ty in dim_fields:
+            cols[name] = t[name]
+        return pa.table(cols)
+
+    tall = fact.map_batches(
+        fact_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(dim.map_batches(dim_rows, batch_format="pyarrow", zero_copy_batch=True))
+    out_empty = pa.table(
+        {
+            **{n: pa.array([], type=ty) for n, ty in fact_fields},
+            **{n: pa.array([], type=ty) for n, ty in dim_fields},
+        }
+    )
+
+    def join_kernel(g: pa.Table) -> pa.Table:
+        slot = g[_JSLOT].to_numpy(zero_copy_only=False)
+        key = g[_JKEY].to_numpy(zero_copy_only=False)
+        is_dim = slot == 0
+        dim_idx = np.flatnonzero(is_dim)
+        dkeys = key[dim_idx]
+        dorder = np.argsort(dkeys, kind="stable")
+        dkeys_s = dkeys[dorder]
+        fact_idx = np.flatnonzero(~is_dim)
+        fkeys = key[fact_idx]
+        if len(dkeys_s):
+            pos = np.minimum(np.searchsorted(dkeys_s, fkeys), len(dkeys_s) - 1)
+            hit = dkeys_s[pos] == fkeys
+        else:
+            pos = np.zeros(len(fkeys), dtype=np.int64)
+            hit = np.zeros(len(fkeys), dtype=bool)
+        frows = fact_idx[hit]
+        take_f = pa.array(frows)
+        cols = {n: g[n].take(take_f) for n in fact_names}
+        if dim_names:
+            drows = dim_idx[dorder][pos[hit]]
+            take_d = pa.array(drows)
+            for n in dim_names:
+                cols[n] = g[n].take(take_d)
+        if not cols:  # pure-filter degenerate call (no payload at all)
+            return out_empty
+        return pa.table(cols)
+
+    return partitioned_kernel(
+        tall,
+        lambda t: numeric_key_u64(t, [_JKEY]),
+        join_kernel,
+        num_partitions=num_partitions,
+        empty_result=out_empty,
+    )
+
+
 def segments(sort_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Given group codes ALREADY IN SORTED-GROUP ORDER, return
     (segment_starts, segment_lengths)."""

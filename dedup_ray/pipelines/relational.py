@@ -168,28 +168,57 @@ def _enrich_mktsegment(t: pa.Table, ref) -> pa.Table:
     )
 
 
-def join_orders_customer(sf_dir: str) -> ray.data.Dataset:
-    """Inner join orders ⨝ customer, then grouped agg per market
-    segment.  Customer is the provably-small dimension side, so it is
-    BROADCAST (ray.put of a sorted key array + searchsorted probe per
-    batch) instead of hash-shuffling the fact table — the orders side
-    streams map-only."""
-    customer = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).to_pandas()
-    keys = customer["c_custkey"].to_numpy()
-    order = np.argsort(keys)
-    ref = ray.put(
-        (keys[order], customer["c_mktsegment"].to_numpy(dtype=object)[order])
-    )
+#: broadcast-vs-exchange gate for dimension build sides: below this
+#: row count the dimension is collected + ray.put as a sorted probe
+#: array (one footer read decides — no scan); above it, the probe
+#: rides a key-hash exchange instead (core.exchange_join_unique_dim) —
+#: at 100x fact scale dimensions grow linearly too, and a multi-GB
+#: driver collect + per-worker broadcast copy is the wrong plan.
+BROADCAST_BUILD_MAX_ROWS = 4_000_000
 
+
+def join_orders_customer(
+    sf_dir: str, *, broadcast_max_rows: int | None = None
+) -> ray.data.Dataset:
+    """Inner join orders ⨝ customer, then grouped agg per market
+    segment.  When customer is provably small (parquet-metadata row
+    count <= BROADCAST_BUILD_MAX_ROWS) it is BROADCAST (ray.put of a
+    sorted key array + searchsorted probe per batch) and the orders
+    side streams map-only; above the cap the join falls back to one
+    custkey-hash exchange (same output bit-exactly — pinned by
+    tests/test_broadcast_fallback.py)."""
+    from dedup_ray.core import exchange_join_unique_dim, parquet_num_rows
+
+    cap = BROADCAST_BUILD_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
-    joined = orders.map_batches(
-        _enrich_mktsegment, fn_kwargs={"ref": ref}, batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    if parquet_num_rows(f"{sf_dir}/customer.parquet") <= cap:
+        customer = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        ).to_pandas()
+        keys = customer["c_custkey"].to_numpy()
+        order = np.argsort(keys)
+        ref = ray.put(
+            (keys[order], customer["c_mktsegment"].to_numpy(dtype=object)[order])
+        )
+        joined = orders.map_batches(
+            _enrich_mktsegment, fn_kwargs={"ref": ref}, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    else:
+        dim = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        )
+        joined = exchange_join_unique_dim(
+            orders,
+            dim,
+            fact_key="o_custkey",
+            dim_key="c_custkey",
+            fact_fields=[("o_totalprice", pa.float64())],
+            dim_fields=[("c_mktsegment", pa.string())],
+            num_partitions=_DEFAULT_NUM_PARTITIONS,
+        )
     agg = joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_raw")
     )
@@ -900,23 +929,33 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------- Q3 shape
-def tpch_q3_shipping(sf_dir: str) -> ray.data.Dataset:
+def tpch_q3_shipping(
+    sf_dir: str, *, broadcast_max_rows: int | None = None
+) -> ray.data.Dataset:
     """TPC-H Q3 shape: customer ⨝ orders ⨝ lineitem with selective
     filters, revenue per order, top 10.
 
-    Scale shape: the BUILDING customer key set is the only broadcast
-    (small dimension); orders-after-filter and lineitem-after-filter
-    are both fact-sized, so their join is ONE hash exchange on
-    orderkey — both sides union into the same partitioned kernel
-    (the repo's shuffle-join decomposition; Dataset.join is avoided
-    per the Ray 2.49 chained-join defect).  Inside a partition the
-    join + group-by is one searchsorted + bincount — and because an
-    orderkey lives in exactly one partition, per-key revenue sums are
-    final with no second exchange; only the tiny per-partition top
-    candidates reach the global sort."""
-    from dedup_ray.core import numeric_key_u64, partitioned_kernel
+    Scale shape: orders-after-filter and lineitem-after-filter are
+    both fact-sized, so their join is ONE hash exchange on orderkey —
+    both sides union into the same partitioned kernel (the repo's
+    shuffle-join decomposition; Dataset.join is avoided per the Ray
+    2.49 chained-join defect).  Inside a partition the join + group-by
+    is one searchsorted + bincount — and because an orderkey lives in
+    exactly one partition, per-key revenue sums are final with no
+    second exchange; only the tiny per-partition top candidates reach
+    the global sort.  The BUILDING customer key set is broadcast only
+    while customer's metadata row count is under the gate; above it
+    the semi-join rides a custkey exchange
+    (core.exchange_join_unique_dim with no payload)."""
+    from dedup_ray.core import (
+        exchange_join_unique_dim,
+        numeric_key_u64,
+        parquet_num_rows,
+        partitioned_kernel,
+    )
 
     cutoff = np.datetime64("1995-03-15", "us")
+    cap = BROADCAST_BUILD_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).map_batches(
@@ -926,28 +965,12 @@ def tpch_q3_shipping(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    bkeys = np.sort(
-        np.concatenate(
-            [
-                b["c_custkey"].to_numpy(zero_copy_only=False)
-                for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536)
-            ]
-            or [np.empty(0, np.int64)]
-        )
+    orders_raw = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
     )
-    bkeys_ref = ray.put(bkeys)
 
-    def orders_side(t: pa.Table) -> pa.Table:
-        keys = _worker_broadcast(bkeys_ref)  # lru-cached ray.get per worker
-        t = t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff)))
-        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
-        if len(keys):
-            pos = np.searchsorted(keys, ck)
-            pos[pos >= len(keys)] = 0  # ck > max(keys) can't match keys[0]
-            mask = keys[pos] == ck
-        else:
-            mask = np.zeros(len(ck), dtype=bool)
-        t = t.filter(pa.array(mask))
+    def to_order_union(t: pa.Table) -> pa.Table:
         n = len(t)
         return pa.table(
             {
@@ -957,6 +980,53 @@ def tpch_q3_shipping(sf_dir: str) -> ray.data.Dataset:
                 "is_order": pa.array(np.ones(n, dtype=bool)),
             }
         )
+
+    if parquet_num_rows(f"{sf_dir}/customer.parquet") <= cap:
+        bkeys = np.sort(
+            np.concatenate(
+                [
+                    b["c_custkey"].to_numpy(zero_copy_only=False)
+                    for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536)
+                ]
+                or [np.empty(0, np.int64)]
+            )
+        )
+        bkeys_ref = ray.put(bkeys)
+
+        def orders_side(t: pa.Table) -> pa.Table:
+            keys = _worker_broadcast(bkeys_ref)  # lru-cached ray.get per worker
+            t = t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff)))
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+            if len(keys):
+                pos = np.searchsorted(keys, ck)
+                pos[pos >= len(keys)] = 0  # ck > max(keys) can't match keys[0]
+                mask = keys[pos] == ck
+            else:
+                mask = np.zeros(len(ck), dtype=bool)
+            t = t.filter(pa.array(mask))
+            return to_order_union(t)
+
+        orders = orders_raw.map_batches(
+            orders_side, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        filtered = orders_raw.map_batches(
+            lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        orders = exchange_join_unique_dim(
+            filtered,
+            cust,
+            fact_key="o_custkey",
+            dim_key="c_custkey",
+            fact_fields=[
+                ("o_orderkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+            ],
+            dim_fields=[],
+            num_partitions=_DEFAULT_NUM_PARTITIONS,
+        ).map_batches(to_order_union, batch_format="pyarrow", zero_copy_batch=True)
 
     def lineitem_side(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
@@ -973,10 +1043,6 @@ def tpch_q3_shipping(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
     lines = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
@@ -1054,22 +1120,27 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------- B21 multi-way join
-def tpch_q5_region_revenue(sf_dir: str) -> ray.data.Dataset:
+def tpch_q5_region_revenue(
+    sf_dir: str, *, broadcast_max_rows: int | None = None
+) -> ray.data.Dataset:
     """TPC-H Q5 shape: region ⨝ nation ⨝ customer ⨝ orders ⨝ lineitem
     ⨝ supplier, revenue per nation for orders whose customer and
     supplier share an in-region nation.
 
-    Scale shape: region/nation/customer/supplier are all dimensions —
+    Scale shape: region/nation are always tiny; customer/supplier are
     folded into TWO broadcast probe tables (custkey→nation for
-    in-region customers, suppkey→nation for in-region suppliers), so
+    in-region customers, suppkey→nation for in-region suppliers) while
+    their metadata row counts are under BROADCAST_BUILD_MAX_ROWS, so
     the two fact tables stream map-only into ONE orderkey hash
-    exchange.  Inside a partition the orders⨝lineitem join is a
-    searchsorted probe (orderkey unique on the build side) and the
-    c_nationkey == s_nationkey predicate plus the per-nation revenue
-    sum collapse to a masked bincount over nation codes — partials of
-    at most n_nations rows per partition reach the tiny global
-    aggregate."""
-    from dedup_ray.core import numeric_key_u64, partitioned_kernel
+    exchange.  Above the cap each probe rides its own key-hash
+    exchange instead (core.exchange_join_unique_dim) — same output
+    bit-exactly (tests/test_broadcast_fallback.py).  Inside a
+    partition the orders⨝lineitem join is a searchsorted probe
+    (orderkey unique on the build side) and the c_nationkey ==
+    s_nationkey predicate plus the per-nation revenue sum collapse to
+    a masked bincount over nation codes — partials of at most
+    n_nations rows per partition reach the tiny global aggregate."""
+    from dedup_ray.core import numeric_key_u64, parquet_num_rows, partitioned_kernel
 
     lo = np.datetime64("1995-01-01", "us")
     hi = np.datetime64("1997-01-01", "us")
@@ -1086,73 +1157,182 @@ def tpch_q5_region_revenue(sf_dir: str) -> ray.data.Dataset:
     in_region = np.zeros(int(nation["n_nationkey"].max()) + 1, dtype=bool)
     in_region[nat_keys] = True
 
-    def _probe(keys_col, nats_col, df):
-        keys = df[keys_col].to_numpy(dtype=np.int64)
-        nats = df[nats_col].to_numpy(dtype=np.int64)
-        keep = in_region[nats]
-        keys, nats = keys[keep], nats[keep]
-        order = np.argsort(keys)
-        return keys[order], nats[order]
-
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
-    supp = ray.data.read_parquet(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
-    probes_ref = ray.put(
-        (_probe("c_custkey", "c_nationkey", cust), _probe("s_suppkey", "s_nationkey", supp))
+    cap = BROADCAST_BUILD_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
+    small_build = (
+        parquet_num_rows(f"{sf_dir}/customer.parquet") <= cap
+        and parquet_num_rows(f"{sf_dir}/supplier.parquet") <= cap
     )
 
-    def orders_side(t: pa.Table) -> pa.Table:
-        (ck, cn), _ = _worker_broadcast(probes_ref)
-        t = t.filter(
+    orders_raw = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    lines_raw = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _order_date_filter(t: pa.Table) -> pa.Table:
+        return t.filter(
             pc.and_(
                 pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
                 pc.less(t["o_orderdate"], pa.scalar(hi)),
             )
         )
-        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
-        idx = np.minimum(np.searchsorted(ck, keys), max(len(ck) - 1, 0))
-        hit = (ck[idx] == keys) if len(ck) else np.zeros(len(keys), bool)
-        t = t.filter(pa.array(hit))
-        n = len(t)
-        return pa.table(
-            {
-                "okey": t["o_orderkey"],
-                "nat": pa.array(cn[idx[hit]], type=pa.int64()),
-                "revenue_part": pa.nulls(n, pa.float64()),
-                "is_order": pa.array(np.ones(n, dtype=bool)),
-            }
-        )
 
-    def lineitem_side(t: pa.Table) -> pa.Table:
-        _, (sk, sn) = _worker_broadcast(probes_ref)
-        keys = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        idx = np.minimum(np.searchsorted(sk, keys), max(len(sk) - 1, 0))
-        hit = (sk[idx] == keys) if len(sk) else np.zeros(len(keys), bool)
-        t = t.filter(pa.array(hit))
+    def _line_rev(t: pa.Table) -> pa.Table:
         rev = pc.multiply(
             t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
         )
-        n = len(t)
         return pa.table(
             {
-                "okey": t["l_orderkey"],
-                "nat": pa.array(sn[idx[hit]], type=pa.int64()),
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
                 "revenue_part": rev,
-                "is_order": pa.array(np.zeros(n, dtype=bool)),
             }
         )
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
-    lines = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(lineitem_side, batch_format="pyarrow", zero_copy_batch=True)
+    if small_build:
+
+        def _probe(keys_col, nats_col, df):
+            keys = df[keys_col].to_numpy(dtype=np.int64)
+            nats = df[nats_col].to_numpy(dtype=np.int64)
+            keep = in_region[nats]
+            keys, nats = keys[keep], nats[keep]
+            order = np.argsort(keys)
+            return keys[order], nats[order]
+
+        cust = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).to_pandas()
+        supp = ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ).to_pandas()
+        probes_ref = ray.put(
+            (_probe("c_custkey", "c_nationkey", cust), _probe("s_suppkey", "s_nationkey", supp))
+        )
+
+        def orders_side(t: pa.Table) -> pa.Table:
+            (ck, cn), _ = _worker_broadcast(probes_ref)
+            t = _order_date_filter(t)
+            keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+            idx = np.minimum(np.searchsorted(ck, keys), max(len(ck) - 1, 0))
+            hit = (ck[idx] == keys) if len(ck) else np.zeros(len(keys), bool)
+            t = t.filter(pa.array(hit))
+            n = len(t)
+            return pa.table(
+                {
+                    "okey": t["o_orderkey"],
+                    "nat": pa.array(cn[idx[hit]], type=pa.int64()),
+                    "revenue_part": pa.nulls(n, pa.float64()),
+                    "is_order": pa.array(np.ones(n, dtype=bool)),
+                }
+            )
+
+        def lineitem_side(t: pa.Table) -> pa.Table:
+            _, (sk, sn) = _worker_broadcast(probes_ref)
+            keys = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            idx = np.minimum(np.searchsorted(sk, keys), max(len(sk) - 1, 0))
+            hit = (sk[idx] == keys) if len(sk) else np.zeros(len(keys), bool)
+            t = t.filter(pa.array(hit))
+            rev = pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+            n = len(t)
+            return pa.table(
+                {
+                    "okey": t["l_orderkey"],
+                    "nat": pa.array(sn[idx[hit]], type=pa.int64()),
+                    "revenue_part": rev,
+                    "is_order": pa.array(np.zeros(n, dtype=bool)),
+                }
+            )
+
+        orders = orders_raw.map_batches(
+            orders_side, batch_format="pyarrow", zero_copy_batch=True
+        )
+        lines = lines_raw.map_batches(
+            lineitem_side, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        # above-cap fallback: the customer and supplier probes each ride
+        # their own key-hash exchange (exchange_join_unique_dim); the
+        # in-region nation filter stays a tiny closure-captured array.
+        from dedup_ray.core import exchange_join_unique_dim
+
+        def _dim_nat(key_col, nat_col):
+            def f(t: pa.Table) -> pa.Table:
+                nats = t[nat_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                keep = in_region[nats]
+                return pa.table(
+                    {
+                        key_col: t[key_col].filter(pa.array(keep)),
+                        "nat": pa.array(nats[keep], type=pa.int64()),
+                    }
+                )
+
+            return f
+
+        cust_dim = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).map_batches(
+            _dim_nat("c_custkey", "c_nationkey"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        supp_dim = ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ).map_batches(
+            _dim_nat("s_suppkey", "s_nationkey"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        orders_j = exchange_join_unique_dim(
+            orders_raw.map_batches(
+                _order_date_filter, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            cust_dim,
+            fact_key="o_custkey",
+            dim_key="c_custkey",
+            fact_fields=[("o_orderkey", pa.int64())],
+            dim_fields=[("nat", pa.int64())],
+            num_partitions=_DEFAULT_NUM_PARTITIONS,
+        )
+        lines_j = exchange_join_unique_dim(
+            lines_raw.map_batches(
+                _line_rev, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            supp_dim,
+            fact_key="l_suppkey",
+            dim_key="s_suppkey",
+            fact_fields=[("l_orderkey", pa.int64()), ("revenue_part", pa.float64())],
+            dim_fields=[("nat", pa.int64())],
+            num_partitions=_DEFAULT_NUM_PARTITIONS,
+        )
+        orders = orders_j.map_batches(
+            lambda t: pa.table(
+                {
+                    "okey": t["o_orderkey"],
+                    "nat": t["nat"],
+                    "revenue_part": pa.nulls(len(t), pa.float64()),
+                    "is_order": pa.array(np.ones(len(t), dtype=bool)),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        lines = lines_j.map_batches(
+            lambda t: pa.table(
+                {
+                    "okey": t["l_orderkey"],
+                    "nat": t["nat"],
+                    "revenue_part": t["revenue_part"],
+                    "is_order": pa.array(np.zeros(len(t), dtype=bool)),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
 
     partial_empty = pa.table(
         {
