@@ -88,8 +88,19 @@ class DedupConfig:
     #: cache-friendly; 4096 measurably regresses
     batch_size: int = field(default=2048, compare=False)
     minhash_concurrency: int = field(default=8, compare=False)
+    #: connected-components strategy: "tree_reduce" (default; fastest
+    #: while the dup-incident forest fits one merge actor) or
+    #: "label_prop" (hash-min label propagation — no single-task
+    #: forest; for pathological dup rates).  Identical output either
+    #: way, so it is an execution hint, not semantics.
+    cc_method: str = field(default="tree_reduce", compare=False)
 
-    _SEMANTIC_EXCLUDE = ("num_partitions", "batch_size", "minhash_concurrency")
+    _SEMANTIC_EXCLUDE = (
+        "num_partitions",
+        "batch_size",
+        "minhash_concurrency",
+        "cc_method",
+    )
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perms:

@@ -292,7 +292,13 @@ def cluster_and_assign(
     # and the kinds table key the assignment exchange on int64 columns
     # (urls were hashed ONCE at ingest; no per-row string hashing here)
     cc = components_dataset(
-        edges, u_col="u_id", v_col="v_id", label_u_col="u", label_v_col="v"
+        edges,
+        u_col="u_id",
+        v_col="v_id",
+        label_u_col="u",
+        label_v_col="v",
+        method=cfg.cc_method,
+        num_partitions=cfg.num_partitions,
     )
     kinds = _node_kinds_ds(edges, num_partitions=cfg.num_partitions)
 

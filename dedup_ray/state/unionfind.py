@@ -361,6 +361,14 @@ def _finalize_components(final: pa.Table) -> pa.Table:
     return pa.table({"node": pa.array(uniq.tolist()), "cluster_id": pa.array(labels.tolist())})
 
 
+#: tree-reduce concentration guard: the final merge actor holds the
+#: whole dup-incident forest (one (node,root[,label]) entry per node
+#: touching an edge).  Fine after LSH (dup-incident ≪ corpus), but at a
+#: pathological dup rate it is the pipeline's one single-node point —
+#: above this budget a warning names the label-propagation fallback.
+FOREST_NODE_BUDGET = 50_000_000
+
+
 def _components_ref(
     edges: ray.data.Dataset,
     *,
@@ -369,6 +377,7 @@ def _components_ref(
     v_col: str = "v",
     label_u_col: str | None = None,
     label_v_col: str | None = None,
+    forest_node_budget: int = FOREST_NODE_BUDGET,
 ):
     """Shared tree-reduce; returns an ObjectRef of the finalized
     (node, cluster_id) table, or None when there are no edge blocks.
@@ -399,8 +408,9 @@ def _components_ref(
 
     K = min(num_merge_actors or default_pool_size(cap=8), len(refs))
     actors = [ForestMergeActor.remote() for _ in range(K)]
-    ray.get([actors[i % K].absorb.remote(r) for i, r in enumerate(refs)])
+    sizes = ray.get([actors[i % K].absorb.remote(r) for i, r in enumerate(refs)])
     alive = actors
+    forest_nodes = max(sizes, default=0)
     while len(alive) > 1:
         futs = []
         nxt = []
@@ -409,8 +419,21 @@ def _components_ref(
             nxt.append(alive[i])
         if len(alive) % 2:
             nxt.append(alive[-1])
-        ray.get(futs)
+        forest_nodes = max(ray.get(futs), default=forest_nodes)
         alive = nxt
+    if forest_nodes > forest_node_budget:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "union-find merged forest holds %d dup-incident nodes "
+            "(budget %d): the final tree-reduce actor is a single-node "
+            "concentration point at this dup rate — switch to "
+            "components_dataset(..., method='label_prop') "
+            "(cfg.cc_method for the flagship), which keeps every round "
+            "a hash exchange.",
+            forest_nodes,
+            forest_node_budget,
+        )
     out = ray.remote(_finalize_components).remote(alive[0].forest.remote())
     # pin the finalize output before killing the producing actor (an
     # actor's objects die with it unless already materialized)
@@ -418,6 +441,418 @@ def _components_ref(
     for a in actors:
         ray.kill(a)
     return out
+
+
+# ------------------------------------------------------- label propagation
+def _node_np(col) -> np.ndarray:
+    """Arrow column -> numpy suited for sort/segment: integers stay
+    int64 (nulls filled with 0 — only ever read where valid); strings
+    become object arrays."""
+    import pyarrow.compute as pc
+
+    if pa.types.is_integer(col.type):
+        return pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+    return np.array(col.to_pylist(), dtype=object)
+
+
+def _node_key_fn(colname: str):
+    from dedup_ray.core import hash_strings_u64
+
+    def f(t: pa.Table) -> np.ndarray:
+        col = t[colname]
+        if pa.types.is_integer(col.type):
+            return col.to_numpy(zero_copy_only=False).view(np.uint64)
+        return hash_strings_u64(col.to_pylist())
+
+    return f
+
+
+def components_dataset_label_prop(
+    edges: ray.data.Dataset,
+    *,
+    u_col: str = "u",
+    v_col: str = "v",
+    label_u_col: str | None = None,
+    label_v_col: str | None = None,
+    num_partitions: int = 64,
+    max_rounds: int = 64,
+) -> ray.data.Dataset:
+    """Hash-min label-propagation connected components — the documented
+    fallback (module docstring / unionfind.py:18-20) for dup rates
+    where the tree-reduce's final merged forest would exceed one
+    actor's budget: NO task ever holds the whole forest; every round is
+    two node-keyed hash exchanges (ship each node's current label to
+    its neighbors; take the min per node), so the per-task footprint is
+    one hash partition.  Rounds = component diameter (LSH star/clique
+    components are shallow); iteration stops the first round nothing
+    changes.  Output and semantics are IDENTICAL to components_dataset:
+    (node, cluster_id = component min node), or on the labeled path
+    (node:int64, cluster_id = component min label/url).
+    """
+    import pyarrow.compute as pc
+
+    from dedup_ray.core import partitioned_kernel, segments as _segs
+
+    try:
+        sch = edges.schema(fetch_if_missing=True)
+        names = list(sch.names) if sch is not None else []
+    except Exception:
+        names = []
+    if u_col not in names:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], type=pa.string()),
+                    "cluster_id": pa.array([], type=pa.string()),
+                }
+            )
+        )
+    ntype_raw = dict(zip(sch.names, sch.types))[u_col]
+    is_int = pa.types.is_integer(ntype_raw)
+    ntype = pa.int64() if is_int else pa.string()
+    labeled = label_u_col is not None
+
+    # ---- directed edge rows (both directions) -----------------------
+    d_empty = pa.table(
+        {"src": pa.array([], type=ntype), "dst": pa.array([], type=ntype)}
+    )
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        if u_col not in t.column_names or len(t) == 0:
+            return d_empty
+        u = pc.cast(t[u_col].combine_chunks(), ntype)
+        v = pc.cast(t[v_col].combine_chunks(), ntype)
+        return pa.table(
+            {
+                "src": pa.concat_arrays([u, v]),
+                "dst": pa.concat_arrays([v, u]),
+            }
+        )
+
+    D = edges.map_batches(
+        both_dirs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # re-read every round
+
+    # ---- initial labels: each endpoint labels itself, deduped -------
+    lab_empty = pa.table(
+        {"node": pa.array([], type=ntype), "val": pa.array([], type=ntype)}
+    )
+
+    def init_rows(t: pa.Table) -> pa.Table:
+        if "src" not in t.column_names or len(t) == 0:
+            return lab_empty
+        s = t["src"].combine_chunks()
+        return pa.table({"node": s, "val": s})
+
+    def uniq_kernel(g: pa.Table) -> pa.Table:
+        nodes = _node_np(g["node"])
+        order = np.argsort(nodes, kind="stable")
+        starts, _l = _segs(nodes[order])
+        idx = pa.array(order[starts])
+        return pa.table({"node": g["node"].take(idx), "val": g["val"].take(idx)})
+
+    L = partitioned_kernel(
+        D.map_batches(init_rows, batch_format="pyarrow", zero_copy_batch=True),
+        _node_key_fn("node"),
+        uniq_kernel,
+        num_partitions=num_partitions,
+        empty_result=lab_empty,
+    )
+
+    # ---- iterate: propagate labels over edges, min per node ---------
+    tall_empty = pa.table(
+        {
+            "node": pa.array([], type=ntype),
+            "val": pa.array([], type=ntype),
+            "dst": pa.array([], type=ntype),
+            "slot": pa.array([], type=pa.int32()),
+        }
+    )
+    cand_empty = pa.table(
+        {
+            "node": pa.array([], type=ntype),
+            "val": pa.array([], type=ntype),
+            "is_self": pa.array([], type=pa.bool_()),
+        }
+    )
+    red_empty = pa.table(
+        {
+            "node": pa.array([], type=ntype),
+            "val": pa.array([], type=ntype),
+            "changed": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def lab_tall(t: pa.Table) -> pa.Table:
+        if "node" not in t.column_names or len(t) == 0:
+            return tall_empty
+        n = len(t)
+        return pa.table(
+            {
+                "node": t["node"],
+                "val": t["val"],
+                "dst": pa.nulls(n, type=ntype),
+                "slot": pa.array(np.zeros(n, dtype=np.int32)),
+            }
+        )
+
+    def edge_tall(t: pa.Table) -> pa.Table:
+        if "src" not in t.column_names or len(t) == 0:
+            return tall_empty
+        n = len(t)
+        return pa.table(
+            {
+                "node": t["src"],
+                "val": pa.nulls(n, type=ntype),
+                "dst": t["dst"],
+                "slot": pa.array(np.ones(n, dtype=np.int32)),
+            }
+        )
+
+    def propagate_kernel(g: pa.Table) -> pa.Table:
+        """Per node (label row first): emit the node's own (node, val)
+        plus (dst, val) for every outgoing edge row."""
+        nodes = _node_np(g["node"])
+        slots = g["slot"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((slots, nodes))
+        ns = nodes[order]
+        starts, lens = _segs(ns)
+        seg_id = np.repeat(np.arange(len(starts)), lens)
+        lab_rows = order[starts]  # slot 0 sorts first; one label row/node
+        vals = g["val"].take(pa.array(lab_rows))
+        edge_mask = slots[order] == 1
+        dst_rows = order[edge_mask]
+        dst_vals = g["val"].take(pa.array(lab_rows[seg_id[edge_mask]]))
+        node_out = pa.concat_arrays(
+            [g["node"].take(pa.array(lab_rows)).combine_chunks(),
+             g["dst"].take(pa.array(dst_rows)).combine_chunks()]
+        )
+        val_out = pa.concat_arrays(
+            [vals.combine_chunks(), dst_vals.combine_chunks()]
+        )
+        is_self = np.zeros(len(node_out), dtype=bool)
+        is_self[: len(lab_rows)] = True
+        return pa.table(
+            {"node": node_out, "val": val_out, "is_self": pa.array(is_self)}
+        )
+
+    def min_kernel(g: pa.Table) -> pa.Table:
+        """Min val per node + changed flag vs the node's self row."""
+        nodes = _node_np(g["node"])
+        vals = _node_np(g["val"])
+        is_self = g["is_self"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, nodes))
+        ns, vs, ss = nodes[order], vals[order], is_self[order]
+        starts, lens = _segs(ns)
+        seg_id = np.repeat(np.arange(len(starts)), lens)
+        newval = vs[starts]
+        sidx = np.flatnonzero(ss)
+        old = np.empty(len(starts), dtype=vs.dtype)
+        old[seg_id[sidx]] = vs[sidx]
+        changed = (newval != old).astype(np.int64)
+        idx = pa.array(order[starts])
+        return pa.table(
+            {
+                "node": g["node"].take(idx),
+                "val": g["val"].take(idx),
+                "changed": pa.array(changed, type=pa.int64()),
+            }
+        )
+
+    for _round in range(max_rounds):
+        tall = L.map_batches(
+            lab_tall, batch_format="pyarrow", zero_copy_batch=True
+        ).union(D.map_batches(edge_tall, batch_format="pyarrow", zero_copy_batch=True))
+        cand = partitioned_kernel(
+            tall,
+            _node_key_fn("node"),
+            propagate_kernel,
+            num_partitions=num_partitions,
+            empty_result=cand_empty,
+        )
+        red = partitioned_kernel(
+            cand,
+            _node_key_fn("node"),
+            min_kernel,
+            num_partitions=num_partitions,
+            empty_result=red_empty,
+        )
+        n_changed = red.sum("changed") or 0
+        L = red.drop_columns(["changed"]).materialize()
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds "
+            "(component diameter exceeds max_rounds?)"
+        )
+
+    if not labeled:
+        return L.map_batches(
+            lambda t: pa.table({"node": t["node"], "cluster_id": t["val"]})
+            if "node" in t.column_names
+            else pa.table(
+                {
+                    "node": pa.array([], type=ntype),
+                    "cluster_id": pa.array([], type=ntype),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    # ---- labeled path: cluster_id = component MIN LABEL --------------
+    # exchange A (node-keyed): join each node's root (converged val)
+    # with its label; exchange B (root-keyed): all nodes of a component
+    # co-locate under their root, so min-label + relabel is ONE kernel.
+    nu_empty = pa.table(
+        {
+            "node": pa.array([], type=pa.int64()),
+            "lab": pa.array([], type=pa.string()),
+        }
+    )
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        if u_col not in t.column_names or len(t) == 0:
+            return nu_empty
+        u = pc.cast(t[u_col].combine_chunks(), pa.int64())
+        v = pc.cast(t[v_col].combine_chunks(), pa.int64())
+        lu = pc.cast(t[label_u_col].combine_chunks(), pa.string())
+        lv = pc.cast(t[label_v_col].combine_chunks(), pa.string())
+        return pa.table(
+            {
+                "node": pa.concat_arrays([u, v]),
+                "lab": pa.concat_arrays([lu, lv]),
+            }
+        )
+
+    node_lab = partitioned_kernel(
+        edges.map_batches(label_rows, batch_format="pyarrow", zero_copy_batch=True),
+        _node_key_fn("node"),
+        uniq_kernel_factory("node", "lab"),
+        num_partitions=num_partitions,
+        empty_result=nu_empty,
+    )
+
+    ja_empty = pa.table(
+        {
+            "node": pa.array([], type=pa.int64()),
+            "root": pa.array([], type=pa.int64()),
+            "lab": pa.array([], type=pa.string()),
+            "slot": pa.array([], type=pa.int32()),
+        }
+    )
+
+    def comp_rows(t: pa.Table) -> pa.Table:
+        if "node" not in t.column_names or len(t) == 0:
+            return ja_empty
+        n = len(t)
+        return pa.table(
+            {
+                "node": t["node"],
+                "root": t["val"],
+                "lab": pa.nulls(n, type=pa.string()),
+                "slot": pa.array(np.zeros(n, dtype=np.int32)),
+            }
+        )
+
+    def lab_rows2(t: pa.Table) -> pa.Table:
+        if "node" not in t.column_names or len(t) == 0:
+            return ja_empty
+        n = len(t)
+        return pa.table(
+            {
+                "node": t["node"],
+                "root": pa.nulls(n, type=pa.int64()),
+                "lab": t["lab"],
+                "slot": pa.array(np.ones(n, dtype=np.int32)),
+            }
+        )
+
+    joinA_empty = pa.table(
+        {
+            "node": pa.array([], type=pa.int64()),
+            "root": pa.array([], type=pa.int64()),
+            "lab": pa.array([], type=pa.string()),
+        }
+    )
+
+    def joinA_kernel(g: pa.Table) -> pa.Table:
+        nodes = _node_np(g["node"])
+        slots = g["slot"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((slots, nodes))
+        ns = nodes[order]
+        starts, lens = _segs(ns)
+        # slot 0 = comp row (has root) first; slot 1 = label row second
+        second = np.minimum(starts + 1, len(ns) - 1)
+        comp_rows_i = order[starts]
+        lab_rows_i = order[second]
+        return pa.table(
+            {
+                "node": g["node"].take(pa.array(comp_rows_i)),
+                "root": g["root"].take(pa.array(comp_rows_i)),
+                "lab": g["lab"].take(pa.array(lab_rows_i)),
+            }
+        )
+
+    comp_lab = partitioned_kernel(
+        L.map_batches(comp_rows, batch_format="pyarrow", zero_copy_batch=True).union(
+            node_lab.map_batches(lab_rows2, batch_format="pyarrow", zero_copy_batch=True)
+        ),
+        _node_key_fn("node"),
+        joinA_kernel,
+        num_partitions=num_partitions,
+        empty_result=joinA_empty,
+    )
+
+    out_empty = pa.table(
+        {
+            "node": pa.array([], type=pa.int64()),
+            "cluster_id": pa.array([], type=pa.string()),
+        }
+    )
+
+    def relabel_kernel(g: pa.Table) -> pa.Table:
+        roots = _node_np(g["root"])
+        labs = np.array(g["lab"].to_pylist(), dtype=object)
+        order = np.lexsort((labs, roots))
+        rs = roots[order]
+        starts, lens = _segs(rs)
+        seg_id = np.repeat(np.arange(len(starts)), lens)
+        min_lab = labs[order][starts][seg_id]
+        out = np.empty(len(rs), dtype=object)
+        out[order] = min_lab
+        return pa.table(
+            {
+                "node": g["node"],
+                "cluster_id": pa.array(out, type=pa.string()),
+            }
+        )
+
+    return partitioned_kernel(
+        comp_lab,
+        _node_key_fn("root"),
+        relabel_kernel,
+        num_partitions=num_partitions,
+        empty_result=out_empty,
+    )
+
+
+def uniq_kernel_factory(node_col: str, payload_col: str):
+    """First (min-payload) row per node — vectorized."""
+    from dedup_ray.core import segments as _segs
+
+    def k(g: pa.Table) -> pa.Table:
+        nodes = _node_np(g[node_col])
+        payload = np.array(g[payload_col].to_pylist(), dtype=object)
+        order = np.lexsort((payload, nodes))
+        starts, _l = _segs(nodes[order])
+        idx = pa.array(order[starts])
+        return pa.table(
+            {node_col: g[node_col].take(idx), payload_col: g[payload_col].take(idx)}
+        )
+
+    return k
 
 
 def components_dataset(
@@ -428,6 +863,9 @@ def components_dataset(
     v_col: str = "v",
     label_u_col: str | None = None,
     label_v_col: str | None = None,
+    method: str = "tree_reduce",
+    num_partitions: int = 64,
+    forest_node_budget: int = FOREST_NODE_BUDGET,
 ) -> ray.data.Dataset:
     """edges -> Dataset[(node, cluster_id)] — nothing on the driver.
     The 100-TB path: at web scale the dup-incident node set is NOT
@@ -439,7 +877,25 @@ def components_dataset(
     the DSU then unions int64 arrays (vectorized np.unique instead of
     object-array factorization) and the output is (node:int64,
     cluster_id:min-url string) — ready to key a hash exchange without
-    re-hashing strings per row."""
+    re-hashing strings per row.
+
+    ``method``: "tree_reduce" (default — fastest while the dup-incident
+    forest fits one merge actor; a warning fires past
+    ``forest_node_budget``) or "label_prop" (hash-min label
+    propagation — every round a hash exchange, no single-task forest;
+    the pathological-dup-rate path).  Identical output either way
+    (tests/test_properties.py pins agreement)."""
+    if method == "label_prop":
+        return components_dataset_label_prop(
+            edges,
+            u_col=u_col,
+            v_col=v_col,
+            label_u_col=label_u_col,
+            label_v_col=label_v_col,
+            num_partitions=num_partitions,
+        )
+    if method != "tree_reduce":
+        raise ValueError(f"unknown components method: {method!r}")
     ref = _components_ref(
         edges,
         num_merge_actors=num_merge_actors,
@@ -447,6 +903,7 @@ def components_dataset(
         v_col=v_col,
         label_u_col=label_u_col,
         label_v_col=label_v_col,
+        forest_node_budget=forest_node_budget,
     )
     if ref is None:
         if label_u_col is not None:
