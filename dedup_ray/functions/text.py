@@ -306,6 +306,24 @@ LIMIT 50
 # ---- repetition / lexical-diversity filter ---------------------------------
 
 
+def _distinct_per_row(toks, lens: np.ndarray, n: int) -> np.ndarray:
+    """Distinct tokens per document over a list<string> token column:
+    dictionary-encode once (exact string identity — no hashing, no
+    collision risk), then distinct counts per document fall out of one
+    ``np.unique`` over a (row, code) composite key.  SHARED by
+    ``repetition_stats`` and ``quality_filter_verdicts`` (ADVICE r03:
+    dup_frac feeds the keep verdict, so a single kernel keeps both
+    bit-exactly aligned with their DuckDB oracles)."""
+    flat = pc.list_flatten(toks)
+    if len(flat) == 0:
+        return np.zeros(n, dtype=np.int64)
+    codes = pc.dictionary_encode(flat).indices.to_numpy().astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    span = np.int64(codes.max()) + 1
+    uniq = np.unique(rows * span + codes)
+    return np.bincount(uniq // span, minlength=n)
+
+
 def repetition_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-document duplicate-token fraction — the lexical-diversity
     (type/token-ratio) member of the Gopher-style repetition-filter
@@ -324,17 +342,7 @@ def repetition_stats(sf_dir: str) -> ray.data.Dataset:
         toks = pc.split_pattern(text, pattern=" ")
         n = len(t)
         lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
-        flat = pc.list_flatten(toks)
-        if len(flat):
-            codes = (
-                pc.dictionary_encode(flat).indices.to_numpy().astype(np.int64)
-            )
-            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-            span = np.int64(codes.max()) + 1
-            uniq = np.unique(rows * span + codes)
-            n_distinct = np.bincount(uniq // span, minlength=n)
-        else:
-            n_distinct = np.zeros(n, dtype=np.int64)
+        n_distinct = _distinct_per_row(toks, lens, n)
         # split('') -> [''] so lens >= 1 always; no div-by-zero
         frac = (lens - n_distinct) / lens
         return pa.table(
@@ -379,15 +387,7 @@ def quality_filter_verdicts(sf_dir: str) -> ray.data.Dataset:
         toks = pc.split_pattern(text, pattern=" ")
         n = len(t)
         lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
-        flat = pc.list_flatten(toks)
-        if len(flat):
-            codes = pc.dictionary_encode(flat).indices.to_numpy().astype(np.int64)
-            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-            span = np.int64(codes.max()) + 1
-            uniq = np.unique(rows * span + codes)
-            n_distinct = np.bincount(uniq // span, minlength=n)
-        else:
-            n_distinct = np.zeros(n, dtype=np.int64)
+        n_distinct = _distinct_per_row(toks, lens, n)
         n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
         # identical operand order to the SQL so float compares agree
         avg_tok = (n_chars - (lens - 1)) / lens

@@ -247,12 +247,22 @@ FROM newd
 # ---- corpus length distribution --------------------------------------------
 
 
-def length_histogram(sf_dir: str, bucket_width: int = 100) -> ray.data.Dataset:
+#: histogram bucket width in chars — single source of truth for BOTH
+#: the Ray kernel and LENGTH_HISTOGRAM_SQL (ADVICE r03: a caller-passed
+#: width that the SQL didn't see silently broke oracle parity)
+LENGTH_BUCKET_WIDTH = 100
+
+
+def length_histogram(
+    sf_dir: str, bucket_width: int = LENGTH_BUCKET_WIDTH
+) -> ray.data.Dataset:
     """Document-length histogram (fixed-width char buckets) — the
     corpus-profiling step that sizes length filters before a training
     run.  Scale shape: per-batch partials (one row per occupied bucket
     per block), then a tiny global groupby — raw rows never reach the
-    exchange."""
+    exchange.  NOTE: LENGTH_HISTOGRAM_SQL is generated from
+    LENGTH_BUCKET_WIDTH; a non-default ``bucket_width`` is fine for ad
+    hoc use but is NOT what the registered oracle checks."""
     import numpy as np
     from ray.data.aggregate import Max, Min, Sum
 
@@ -313,8 +323,8 @@ def length_histogram(sf_dir: str, bucket_width: int = 100) -> ray.data.Dataset:
     return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
-LENGTH_HISTOGRAM_SQL = """
-SELECT cast(n_chars // 100 AS bigint)  AS bucket,
+LENGTH_HISTOGRAM_SQL = f"""
+SELECT cast(n_chars // {LENGTH_BUCKET_WIDTH} AS bigint)  AS bucket,
        cast(count(*) AS bigint)        AS n_docs,
        cast(sum(n_chars) AS bigint)    AS total_chars,
        cast(min(n_chars) AS bigint)    AS min_chars,
@@ -368,12 +378,15 @@ def dedup_rate_by_source(sf_dir: str) -> ray.data.Dataset:
     )
 
     def kernel(g: pa.Table) -> pa.Table:
-        # same winner rule as exact_dedup (min (priority, url) per sha)
+        # winner = min url per sha.  ``to_pages`` above pins priority=0
+        # for every row, so url order IS the full winner rule here and
+        # matches DEDUP_RATE_BY_SOURCE_SQL's ORDER BY doc_id exactly
+        # (ADVICE r03: a nonzero-priority pages source would need the
+        # (priority, url) rule AND a priority-aware oracle)
         shas = np.array(g["content_sha256"].to_pylist(), dtype=object)
         urls = np.array(g["url"].to_pylist(), dtype=object)
-        prio = g["priority"].to_numpy(zero_copy_only=False)
         _, inv = np.unique(shas, return_inverse=True)
-        order = np.lexsort((urls, prio, inv))
+        order = np.lexsort((urls, inv))
         is_dup_sorted = np.ones(len(g), dtype=bool)
         first = np.ones(len(g), dtype=bool)
         first[1:] = inv[order][1:] != inv[order][:-1]
