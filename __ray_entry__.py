@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5_region_revenue": rel.tpch_q5_region_revenue,
         "events_interarrival": rel.events_interarrival,
         "orders_rollup": rel.orders_rollup,
+        "part_revenue_by_brand": rel.part_revenue_by_brand,
+        "events_daily_top_type": rel.events_daily_top_type,
         "incremental_exact_dedup": xq.incremental_exact_dedup,
         "length_histogram": xq.length_histogram,
         "dedup_rate_by_source": xq.dedup_rate_by_source,
@@ -148,6 +150,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5_region_revenue": rel.TPCH_Q5_REGION_REVENUE_SQL,
         "events_interarrival": rel.EVENTS_INTERARRIVAL_SQL,
         "orders_rollup": rel.ORDERS_ROLLUP_SQL,
+        "part_revenue_by_brand": rel.PART_REVENUE_BY_BRAND_SQL,
+        "events_daily_top_type": rel.EVENTS_DAILY_TOP_TYPE_SQL,
         "incremental_exact_dedup": xq.INCREMENTAL_EXACT_DEDUP_SQL,
         "length_histogram": xq.LENGTH_HISTOGRAM_SQL,
         "dedup_rate_by_source": xq.DEDUP_RATE_BY_SOURCE_SQL,

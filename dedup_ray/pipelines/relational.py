@@ -1575,3 +1575,200 @@ SELECT coalesce(o_orderstatus, 'ALL')   AS o_orderstatus,
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
+
+
+# ---------------------------------------------------------------- B21 part join
+def part_revenue_by_brand(
+    sf_dir: str, *, broadcast_max_rows: int | None = None
+) -> ray.data.Dataset:
+    """Revenue + item count per part brand: lineitem ⨝ part on
+    partkey, grouped by p_brand — the classic fact ⨝ product-dimension
+    rollup (TPC-H Q14's join shape with a per-brand breakdown).
+
+    Scale shape: part is the unique-key dimension — broadcast probe
+    under the gate, key-hash exchange (core.exchange_join_unique_dim)
+    above it; either plan streams lineitem map-only / one exchange and
+    pre-aggregates per batch before the tiny per-brand groupby."""
+    from dedup_ray.core import exchange_join_unique_dim, parquet_num_rows
+
+    cap = BROADCAST_BUILD_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_cols(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table({"l_partkey": t["l_partkey"], "rev": rev})
+
+    lines = lines.map_batches(rev_cols, batch_format="pyarrow", zero_copy_batch=True)
+
+    if parquet_num_rows(f"{sf_dir}/part.parquet") <= cap:
+        part = ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+        ).to_pandas()
+        keys = part["p_partkey"].to_numpy()
+        order = np.argsort(keys)
+        ref = ray.put((keys[order], part["p_brand"].to_numpy(dtype=object)[order]))
+
+        def probe(t: pa.Table) -> pa.Table:
+            keys_s, brands = _worker_broadcast(ref)
+            pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+            idx = np.minimum(np.searchsorted(keys_s, pk), max(len(keys_s) - 1, 0))
+            hit = (keys_s[idx] == pk) if len(keys_s) else np.zeros(len(pk), bool)
+            return pa.table(
+                {
+                    "p_brand": pa.array(brands[idx[hit]], type=pa.string()),
+                    "rev": t["rev"].filter(pa.array(hit)),
+                }
+            )
+
+        joined = lines.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        dim = ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+        )
+        joined = exchange_join_unique_dim(
+            lines,
+            dim,
+            fact_key="l_partkey",
+            dim_key="p_partkey",
+            fact_fields=[("rev", pa.float64())],
+            dim_fields=[("p_brand", pa.string())],
+            num_partitions=_DEFAULT_NUM_PARTITIONS,
+        )
+
+    agg = joined.groupby("p_brand").aggregate(
+        Count(alias_name="n_items"), Sum("rev", alias_name="rev_raw")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if "p_brand" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {
+                    "p_brand": pa.array([], pa.string()),
+                    "n_items": pa.array([], pa.int64()),
+                    "revenue": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "n_items": pc.cast(t["n_items"], pa.int64()),
+                "revenue": sql_round(t["rev_raw"], 2),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+PART_REVENUE_BY_BRAND_SQL = """
+SELECT p_brand,
+       cast(count(*) AS bigint)                          AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------- argmax/group
+def events_daily_top_type(sf_dir: str) -> ray.data.Dataset:
+    """Per calendar day, THE most frequent event type (argmax per
+    group, deterministic tie-break on event_type) — the grouped-argmax
+    window shape (row_number() = 1 over count DESC).
+
+    Scale shape: per-batch (day, type) count partials, then ONE
+    day-keyed hash exchange whose kernel both merges the partials and
+    picks each day's winner vectorized — raw events never reach the
+    exchange, and no per-day Python dispatch."""
+    from dedup_ray.core import numeric_key_u64, partitioned_kernel
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    part_empty = pa.table(
+        {
+            "day": pa.array([], pa.timestamp("us")),
+            "event_type": pa.array([], pa.string()),
+            "n_part": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = (
+            pa.table({"day": day, "event_type": t["event_type"]})
+            .group_by(["day", "event_type"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "day": g["day"],
+                "event_type": g["event_type"],
+                "n_part": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out_empty = pa.table(
+        {
+            "day": pa.array([], pa.timestamp("us")),
+            "event_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def argmax_kernel(g: pa.Table) -> pa.Table:
+        from dedup_ray.core import segments
+
+        days = g["day"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        etypes = np.array(g["event_type"].to_pylist(), dtype=object)
+        n_part = g["n_part"].to_numpy(zero_copy_only=False)
+        # merge partials per (day, type): dictionary-encode types, sum
+        # by composite segment
+        _, codes = np.unique(etypes, return_inverse=True)
+        order = np.lexsort((codes, days))
+        d_s, c_s, n_s = days[order], codes[order], n_part[order]
+        change = np.ones(len(d_s), dtype=bool)
+        change[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+        starts = np.flatnonzero(change)
+        sums = np.add.reduceat(n_s, starts)
+        day_g, code_g = d_s[starts], c_s[starts]
+        type_g = etypes[order][starts]
+        # argmax per day: (count desc, type asc)
+        order2 = np.lexsort((type_g, -sums, day_g))
+        dd = day_g[order2]
+        first = np.ones(len(dd), dtype=bool)
+        first[1:] = dd[1:] != dd[:-1]
+        win = order2[first]
+        return pa.table(
+            {
+                "day": pa.array(day_g[win]).cast(pa.timestamp("us")),
+                "event_type": pa.array(type_g[win], pa.string()),
+                "n": pa.array(sums[win], pa.int64()),
+            }
+        )
+
+    return partitioned_kernel(
+        partials,
+        lambda t: numeric_key_u64(
+            pa.table({"d": t["day"].cast(pa.int64())}), ["d"]
+        ),
+        argmax_kernel,
+        num_partitions=_DEFAULT_NUM_PARTITIONS,
+        empty_result=out_empty,
+    )
+
+
+EVENTS_DAILY_TOP_TYPE_SQL = """
+WITH c AS (
+  SELECT date_trunc('day', ts) AS day, event_type,
+         cast(count(*) AS bigint) AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT day, event_type, n,
+         row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT cast(day AS timestamp) AS day, event_type, n FROM r WHERE rn = 1
+"""

@@ -10,6 +10,7 @@ import pytest
 
 from dedup_ray.pipelines.relational import (
     join_orders_customer,
+    part_revenue_by_brand,
     tpch_q3_shipping,
     tpch_q5_region_revenue,
 )
@@ -23,8 +24,18 @@ def _norm(ds) -> pd.DataFrame:
 
 @pytest.mark.parametrize(
     "fn",
-    [join_orders_customer, tpch_q3_shipping, tpch_q5_region_revenue],
-    ids=["join_orders_customer", "tpch_q3_shipping", "tpch_q5_region_revenue"],
+    [
+        join_orders_customer,
+        tpch_q3_shipping,
+        tpch_q5_region_revenue,
+        part_revenue_by_brand,
+    ],
+    ids=[
+        "join_orders_customer",
+        "tpch_q3_shipping",
+        "tpch_q5_region_revenue",
+        "part_revenue_by_brand",
+    ],
 )
 def test_exchange_fallback_matches_broadcast(fn, sf_oracle):
     broadcast = _norm(fn(sf_oracle))
