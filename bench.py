@@ -86,6 +86,8 @@ def run_default() -> None:
         "word_topk",             # skewed-vocab aggregate (map-side combine)
         "tpch_q5_region_revenue",  # 6-table join: 2 broadcasts + 1 exchange
         "quality_filter_verdicts",  # C4-style keep/drop filter chain
+        "part_revenue_by_brand",   # product-dimension join (gated broadcast)
+        "events_daily_top_type",   # grouped argmax via one day-keyed exchange
     ]
     queries = entrymod.queries()
     # untimed warm-up: spawn the worker pool + import the library in
