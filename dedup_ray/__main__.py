@@ -17,6 +17,30 @@ import json
 import sys
 
 
+def ray_init_kwargs(cpus: int | None = None) -> dict:
+    """ray.init kwargs for the CLI's session, honoring ``$RAY_ADDRESS``.
+
+    Under ``ray job submit`` the job runtime exports RAY_ADDRESS with
+    the cluster address; attaching to it (rather than forcing a fresh
+    local instance) is what makes the SAME command line work on a
+    multi-node cluster (DEPLOY.md §1).  An existing cluster rejects
+    per-driver resource overrides, so ``--cpus`` only applies to a
+    locally-owned session.  Unset or "local" keeps the previous
+    behavior: a private local instance sized by ``--cpus``.
+    """
+    import os
+
+    addr = os.environ.get("RAY_ADDRESS", "local") or "local"
+    if addr == "local":
+        return {
+            "address": "local",
+            "num_cpus": cpus,
+            "include_dashboard": False,
+            "logging_level": "ERROR",
+        }
+    return {"address": addr, "logging_level": "ERROR"}
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="dedup_ray",
@@ -57,12 +81,7 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=args.cpus,
-            include_dashboard=False,
-            logging_level="ERROR",
-        )
+        ray.init(**ray_init_kwargs(args.cpus))
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False

@@ -105,3 +105,23 @@ def test_cli_priority_col(tmp_path):
     assert set(df["url"]) == {"a", "b"}
     assert bool(df.set_index("url").loc["b", "is_canonical"])
     assert not bool(df.set_index("url").loc["a", "is_canonical"])
+
+
+def test_ray_init_kwargs_address_selection(monkeypatch):
+    """The CLI attaches to $RAY_ADDRESS (ray job submit exports it)
+    and only owns/sizes a session when the address is local."""
+    from dedup_ray.__main__ import ray_init_kwargs
+
+    monkeypatch.delenv("RAY_ADDRESS", raising=False)
+    kw = ray_init_kwargs(4)
+    assert kw["address"] == "local" and kw["num_cpus"] == 4
+
+    monkeypatch.setenv("RAY_ADDRESS", "local")
+    kw = ray_init_kwargs(None)
+    assert kw["address"] == "local" and kw["num_cpus"] is None
+
+    monkeypatch.setenv("RAY_ADDRESS", "192.0.2.7:6379")
+    kw = ray_init_kwargs(8)
+    assert kw["address"] == "192.0.2.7:6379"
+    # an existing cluster rejects per-driver resource overrides
+    assert "num_cpus" not in kw and "include_dashboard" not in kw
