@@ -1,0 +1,82 @@
+"""Adversarial corpus shapes through the FULL flagship.
+
+Two worst cases a web crawl actually produces:
+
+- a mirror farm: one document exactly replicated N times (one sha
+  group of size N; after exact dedupe a single winner reaches the
+  near-dup layer);
+- a boilerplate family: N near-identical documents (distinct shas,
+  ~identical shingle sets) with N far above ``bucket_cap``, so EVERY
+  LSH band bucket is hot and must be salted — connectivity across
+  salts (rep star) is what keeps the family one cluster.
+
+These pin end-to-end behavior the unit tests
+(test_properties.test_salt_split_preserves_connectivity) only cover at
+the pair-kernel level.
+"""
+
+import pyarrow as pa
+import ray.data
+
+from dedup_ray.config import DedupConfig
+from dedup_ray.pipelines.flagship import flagship_assignments_from_pages
+
+
+def _pages(urls, texts):
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(urls), pa.string()),
+            "priority": pa.array([0] * len(urls), pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
+def test_all_identical_corpus_one_exact_cluster(ray_session):
+    n = 120
+    text = "the same mirrored page content " * 40
+    urls = [f"https://m{i:04d}.example/page" for i in range(n)]
+    out = flagship_assignments_from_pages(
+        _pages(urls, [text] * n), DedupConfig()
+    ).to_pandas()
+    assert len(out) == n
+    assert out["cluster_id"].nunique() == 1
+    assert int(out["is_canonical"].sum()) == 1
+    # canonical = min url (uniform priority), everyone else exact-dup
+    canon = out[out["is_canonical"]]["url"].iloc[0]
+    assert canon == min(urls)
+    # kind is CLUSTER-level: every member of an exact-dup group
+    # (winner included) is "exact"; "unique" is reserved for
+    # singleton shas (flagship.py assign_kernel: group_n > 1)
+    kinds = out.groupby("kind")["url"].count().to_dict()
+    assert kinds == {"exact": n}
+
+
+def test_boilerplate_family_above_bucket_cap_single_cluster(ray_session):
+    """150 near-identical docs >> bucket_cap=64: every band bucket is
+    salted; the family must still resolve to ONE minhash cluster."""
+    cfg = DedupConfig()
+    n = 150
+    # 300 DISTINCT tokens: a repetitive base would collapse the
+    # unique-shingle set (~10 5-grams for a period-10 text) and make
+    # the docs genuinely dissimilar (J ~ 0.33) — with distinct tokens
+    # one tweak invalidates only ~k windows, J ~ 0.97 >> tau
+    base = [f"tok{j:03d}" for j in range(300)]
+    urls, texts = [], []
+    for i in range(n):
+        toks = list(base)
+        toks[i * 2] = f"tweak{i}"
+        urls.append(f"https://site{i:04d}.example/")
+        texts.append(" ".join(toks))
+    assert n > cfg.bucket_cap
+    out = flagship_assignments_from_pages(_pages(urls, texts), cfg).to_pandas()
+    assert len(out) == n
+    assert out["cluster_id"].nunique() == 1, (
+        f"boilerplate family split into {out['cluster_id'].nunique()} clusters"
+    )
+    assert int(out["is_canonical"].sum()) == 1
+    # cluster-level kind: every member of the near-dup cluster,
+    # canonical included, is "minhash"
+    assert set(out["kind"]) == {"minhash"}
