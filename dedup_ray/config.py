@@ -87,7 +87,6 @@ class DedupConfig:
     #: 2048 keeps the minhash/simhash per-batch temporaries (~75MB)
     #: cache-friendly; 4096 measurably regresses
     batch_size: int = field(default=2048, compare=False)
-    minhash_concurrency: int = field(default=8, compare=False)
     #: connected-components strategy: "tree_reduce" (default; fastest
     #: while the dup-incident forest fits one merge actor) or
     #: "label_prop" (hash-min label propagation — no single-task
@@ -98,7 +97,6 @@ class DedupConfig:
     _SEMANTIC_EXCLUDE = (
         "num_partitions",
         "batch_size",
-        "minhash_concurrency",
         "cc_method",
     )
 
