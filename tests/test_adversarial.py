@@ -80,3 +80,44 @@ def test_boilerplate_family_above_bucket_cap_single_cluster(ray_session):
     # cluster-level kind: every member of the near-dup cluster,
     # canonical included, is "minhash"
     assert set(out["kind"]) == {"minhash"}
+
+
+def test_unicode_corpus_flagship(ray_session):
+    """CJK / emoji / RTL / astral-plane text through the FULL flagship
+    (substring pass on): exercises utf-8 surrogatepass token hashing
+    (util.blake2b_u64 path), utf-32 char rolling hashes (winnowing)
+    and sha-256 over non-ascii text.  Near-dup pair: two long CJK docs
+    differing by one token must cluster; the emoji/RTL singletons must
+    not."""
+    from dedup_ray.config import DedupConfig
+
+    base_cjk = "汉字 深度 学习 数据 管道 去重 引擎 分布式 计算 存储 " * 40
+    pages = _pages(
+        [
+            "https://cn.example/a",
+            "https://cn.example/b",
+            "https://emoji.example/",
+            "https://ar.example/",
+            "https://astral.example/",
+        ],
+        [
+            base_cjk,
+            base_cjk[:-3] + " 变体",       # one-token tail tweak: near-dup
+            "🎉🎊 emoji only page 🚀🌟 " * 30,
+            "النص العربي من اليمين إلى اليسار " * 30,
+            "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝕞𝕒𝕥𝕙 𝖘𝖙𝖞𝖑𝖊𝖉 text " * 30,
+        ],
+    )
+    out = flagship_assignments_from_pages(
+        pages, DedupConfig(), substring_pass=True
+    ).to_pandas()
+    assert len(out) == 5
+    by_url = out.set_index("url")
+    assert (
+        by_url.loc["https://cn.example/a", "cluster_id"]
+        == by_url.loc["https://cn.example/b", "cluster_id"]
+    )
+    assert out["cluster_id"].nunique() == 4
+    for u in ("https://emoji.example/", "https://ar.example/",
+              "https://astral.example/"):
+        assert by_url.loc[u, "kind"] == "unique"
