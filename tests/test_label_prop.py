@@ -141,3 +141,35 @@ def test_label_prop_empty_edges(ray_session):
     )
     out = components_dataset_label_prop(edges)
     assert out.count() == 0
+
+
+@pytest.mark.parametrize("seed,n,m", [(7, 300, 60), (8, 300, 300), (9, 300, 1200)])
+def test_both_methods_match_pure_python_ground_truth(seed, n, m, ray_session):
+    """tree_reduce AND label_prop vs an independent driver-side DSU:
+    min-node component labels on random graphs across densities
+    (sparse / ~critical / dense-high-dup)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    us = rng.integers(0, n, m).astype(np.int64)
+    vs = rng.integers(0, n, m).astype(np.int64)
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(us.tolist(), vs.tolist()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    touched = sorted(set(us.tolist()) | set(vs.tolist()))
+    want = sorted((x, find(x)) for x in touched)
+
+    edges = ray.data.from_arrow(
+        pa.table({"u": pa.array(us, pa.int64()), "v": pa.array(vs, pa.int64())})
+    )
+    for method in ("tree_reduce", "label_prop"):
+        got = _as_sorted_pairs(components_dataset(edges, method=method))
+        assert got == want, f"{method} diverged from the pure-python DSU"
