@@ -34,6 +34,18 @@ from dedup_ray.util import splitmix64
 PKEY = "_pkey"
 
 
+def schema_names(ds: ray.data.Dataset) -> list[str]:
+    """Column names of a Dataset, `[]` when the schema is unknowable.
+
+    ``Dataset.schema()`` returns None for a pipeline whose blocks all
+    came out empty/schema-less (zero-row corpus, an exchange over an
+    empty shard) — every ``"col" in ds.schema().names`` guard must go
+    through this or it crashes on exactly the degenerate input it
+    guards against."""
+    s = ds.schema(fetch_if_missing=True)
+    return list(s.names) if s is not None else []
+
+
 def default_pool_size(cap: int = 64) -> int:
     """Actor-pool max = the session's CPU count (pools autoscale from
     1, so a small test session never deadlocks waiting for actors)."""
@@ -147,9 +159,14 @@ def partitioned_kernel(
     """
     mat = ds.materialize()
     block_refs = list(mat.to_arrow_refs())
-    if not block_refs:
-        return ray.data.from_arrow(empty_result)
     total_rows = mat.count()
+    if not block_refs or total_rows == 0:
+        # Short-circuit BEFORE spawning the reduce: zero-row inputs
+        # surface as schema-less blocks (they bypass map_batches), and
+        # Ray 2.49's from_arrow_refs drops the schema of an empty
+        # result block — from_arrow(empty_result) keeps ds.schema()
+        # intact for downstream `schema_names` guards.
+        return ray.data.from_arrow(empty_result)
     # NOTE: adapt DOWN only on row count, never on session CPU count.
     # Measured (2.4M-page corpus, signature-verify exchange): halving P
     # below the configured 64 DOUBLES wall time — the reduce kernel's

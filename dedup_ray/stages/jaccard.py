@@ -20,7 +20,7 @@ import pyarrow as pa
 import ray.data
 
 from dedup_ray.config import DedupConfig
-from dedup_ray.core import numeric_key_u64, partitioned_kernel, segments
+from dedup_ray.core import numeric_key_u64, partitioned_kernel, schema_names, segments
 from dedup_ray.util import ensure_doc_ids
 
 _EMPTY_EDGES = pa.table(
@@ -132,7 +132,7 @@ def exact_jaccard_edges(
     the text rows."""
     P = num_partitions or 64
     text_cols = ["url", "text"] + (
-        ["doc_id"] if "doc_id" in winners.schema().names else []
+        ["doc_id"] if "doc_id" in schema_names(winners) else []
     )
     tall = winners.select_columns(text_cols).map_batches(
         _text_rows, batch_format="pyarrow", zero_copy_batch=True

@@ -48,7 +48,7 @@ import ray
 import ray.data
 
 from dedup_ray.config import DedupConfig
-from dedup_ray.core import numeric_key_u64, partitioned_kernel, segments
+from dedup_ray.core import numeric_key_u64, partitioned_kernel, schema_names, segments
 from dedup_ray.util import (
     combine_rows_u64,
     ensure_doc_ids,
@@ -488,7 +488,7 @@ def verify_pairs(
         )
 
     sig_cols = ["url", "minhash"] + (
-        ["doc_id"] if "doc_id" in signatures.schema().names else []
+        ["doc_id"] if "doc_id" in schema_names(signatures) else []
     )
     tall = signatures.select_columns(sig_cols).map_batches(
         sig_rows, batch_format="pyarrow", zero_copy_batch=True

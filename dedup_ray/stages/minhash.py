@@ -238,10 +238,29 @@ def minhash_signatures_stage(
     to an explicit actor pool — the right mode when per-worker state is
     genuinely expensive (a model, a big vocabulary) or must be bounded
     to specific resources."""
+    from dedup_ray.core import schema_names
+
+    names = schema_names(ds)
+    if "url" not in names:
+        # zero-row corpus: every block upstream came out schema-less.
+        # Emit the canonical empty signature table so downstream stages
+        # (banding, verify, assignment) see their expected columns.
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([], type=pa.string()),
+                    "n_shingles": pa.array([], type=pa.int64()),
+                    "minhash": pa.array(
+                        [], type=pa.list_(pa.uint64(), cfg.num_perms)
+                    ),
+                    "simhash64": pa.array([], type=pa.int64()),
+                }
+            )
+        )
     keep = [
         c
         for c in ("url", "doc_id", "text", "content_sha256", "n_chars", "priority", "lang")
-        if c in ds.schema().names
+        if c in names
     ]
     slim = ds.select_columns(keep)
     if use_actor_pool:

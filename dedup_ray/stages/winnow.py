@@ -42,7 +42,7 @@ import pyarrow as pa
 import ray.data
 
 from dedup_ray.config import DedupConfig
-from dedup_ray.core import numeric_key_u64, partitioned_kernel, segments
+from dedup_ray.core import numeric_key_u64, partitioned_kernel, schema_names, segments
 from dedup_ray.util import char_rolling_hashes, ensure_doc_ids, winnow_select
 
 MAX_ANCHOR_TRIES = 3
@@ -317,7 +317,7 @@ def verify_substring_pairs(
     substring >= substring_min_len."""
     P = num_partitions or 64
     text_cols = ["url", "text"] + (
-        ["doc_id"] if "doc_id" in winners.schema().names else []
+        ["doc_id"] if "doc_id" in schema_names(winners) else []
     )
     tall = winners.select_columns(text_cols).map_batches(
         _text_rows, batch_format="pyarrow", zero_copy_batch=True
@@ -443,7 +443,7 @@ def substring_edges(
     Fingerprinting runs as tasks with a per-worker singleton (see
     minhash._worker_hasher for the pattern)."""
     fp_cols = ["url", "text"] + (
-        ["doc_id"] if "doc_id" in winners.schema().names else []
+        ["doc_id"] if "doc_id" in schema_names(winners) else []
     )
     anchors = winners.select_columns(fp_cols).map_batches(
         _fingerprint_batch,

@@ -121,3 +121,27 @@ def test_unicode_corpus_flagship(ray_session):
     for u in ("https://emoji.example/", "https://ar.example/",
               "https://astral.example/"):
         assert by_url.loc[u, "kind"] == "unique"
+
+
+def test_zero_row_corpus_flagship(ray_session):
+    """A zero-row corpus (empty shard / empty input dir) must produce
+    an empty assignments table, not crash: 0-row blocks BYPASS
+    map_batches and arrive schema-less, which used to break the
+    ``ds.schema().names`` guards (fixed via core.schema_names + the
+    partitioned_kernel zero-row short-circuit)."""
+    import ray.data as rd
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "priority": pa.array([], pa.int64()),
+            }
+        )
+    )
+    out = flagship_assignments_from_pages(
+        empty, DedupConfig(), substring_pass=True
+    )
+    assert out.count() == 0
