@@ -154,8 +154,19 @@ def main(argv: list[str] | None = None) -> int:
     report_path = write_run_report(report, args.out)
 
     # summary statistics — the reference's stdout report (A11);
-    # n_distinct_hashes == canonical-row count == cluster count here
-    stats = dup_stats(assignments).to_pandas().iloc[0].to_dict()
+    # n_distinct_hashes == canonical-row count == cluster count here.
+    # A zero-row corpus yields an EMPTY stats table (no partials reach
+    # the global aggregate): report zeros instead of crashing.
+    stats_df = dup_stats(assignments).to_pandas()
+    if len(stats_df):
+        stats = stats_df.iloc[0].to_dict()
+    else:
+        stats = {
+            "n_pages": 0,
+            "n_distinct_hashes": 0,
+            "n_dup_pages": 0,
+            "reclaimable_chars": 0,
+        }
     summary = {
         "config_hash": cfg.config_hash(),
         "stages": {k: ("skipped" if v.skipped else f"{v.wall_s:.1f}s") for k, v in report.items()},

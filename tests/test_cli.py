@@ -125,3 +125,38 @@ def test_ray_init_kwargs_address_selection(monkeypatch):
     assert kw["address"] == "192.0.2.7:6379"
     # an existing cluster rejects per-driver resource overrides
     assert "num_cpus" not in kw and "include_dashboard" not in kw
+
+
+def test_cli_empty_input(tmp_path):
+    """An empty-but-valid pages parquet must produce a clean all-zero
+    summary and an empty assignments sink, not crash (zero-row blocks
+    are schema-less; see core.schema_names)."""
+    import pyarrow as pa
+
+    inp = tmp_path / "pages"
+    inp.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "warc_ts": pa.array([], pa.timestamp("us")),
+                "html": pa.array([], pa.binary()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+            }
+        ),
+        str(inp / "part0.parquet"),
+    )
+    out = tmp_path / "out"
+    proc = subprocess.run(
+        [sys.executable, "-m", "dedup_ray", "--input", str(inp),
+         "--out", str(out), "--cpus", "2"],
+        capture_output=True, text=True, timeout=240,
+        cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout[proc.stdout.index("{"):])
+    assert summary["n_pages"] == 0
+    assert summary["n_clusters"] == 0
+    assert summary["n_duplicate_pages"] == 0
