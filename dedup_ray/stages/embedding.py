@@ -43,6 +43,21 @@ def _read_embeddings(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _embedding_dim(sf_dir: str) -> int:
+    """Embedding width from the parquet FOOTER (no scan) — the
+    hyperplane matrix must match the corpus dimension, not assume the
+    test fixture's 64.  Plain (non-fixed-size) list columns fall back
+    to reading a single value."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    typ = pf.schema_arrow.field("embedding").type
+    if pa.types.is_fixed_size_list(typ):
+        return typ.list_size
+    head = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(head.column(0)[0])
+
+
 def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = t["vec_id"].to_numpy(zero_copy_only=False)
     emb = t["embedding"].combine_chunks()
@@ -308,7 +323,9 @@ def ann_lsh_pairs(
         n_rows = _read_embeddings(sf_dir).count()
         n_bits = max(4, int(np.ceil(np.log2(max(1, n_rows / 256)))))
     rng = np.random.Generator(np.random.PCG64(seed))
-    planes = rng.standard_normal((n_tables, n_bits, 64))
+    # dim from the footer: for the 64-wide fixtures the draw sequence
+    # is identical to the old hardcoded shape, so anchors are unchanged
+    planes = rng.standard_normal((n_tables, n_bits, _embedding_dim(sf_dir)))
     p_ref = ray.put(planes)
 
     def bucketer(t: pa.Table, *, r) -> pa.Table:

@@ -79,3 +79,39 @@ def test_registered_ann_query_runs(sf_smoke):
     df = q(sf_smoke).to_pandas()
     assert set(df.columns) == {"vec_id", "cluster_id"}
     assert len(df) > 0
+
+
+def test_ann_and_ivf_handle_any_dim_and_zero_vectors(ray_session, tmp_path):
+    """The hyperplane matrix must derive its width from the corpus
+    (embedding.py:_embedding_dim — it was hardcoded to the fixture's
+    64), and zero vectors (failed/padded embeddings) must not produce
+    NaNs or crashes on either scale path."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedup_ray.stages.embedding import embedding_dedup
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    n, d = 40, 16
+    M = rng.normal(size=(n, d)).astype(np.float32)
+    M[7] = 0.0
+    M[13] = 0.0
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(M.reshape(-1), pa.float32()), d
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    exact = embedding_dedup(str(tmp_path), pairs_source="exact").to_pandas()
+    assert len(exact) == n and not exact.isna().any().any()
+    for src, kw in (("ann_lsh", {}), ("ivf", {"n_lists": 4})):
+        got = embedding_dedup(str(tmp_path), pairs_source=src, **kw).to_pandas()
+        assert len(got) == n and not got.isna().any().any(), src
+        # zero vectors normalize to zero similarity: never clustered
+        z = got.set_index("vec_id").loc[[7, 13], "cluster_id"]
+        assert list(z) == [7, 13], f"{src}: zero vectors joined a cluster"
