@@ -272,10 +272,56 @@ def winnow_select(hashes: np.ndarray, window: int) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     if n <= window:
         return np.array([int(np.argmin(hashes))], dtype=np.int64)
-    # sliding-window argmin via np.lib.stride_tricks (O(n*w) worst case
-    # but vectorized); w is ~140 for the default config.
-    sw = np.lib.stride_tricks.sliding_window_view(hashes, window)
-    mins = sw.argmin(axis=1) + np.arange(len(sw))
+    # van Herk / Gil-Werman sliding-window argmin, O(n) in ~10
+    # vectorized passes.  The previous sliding_window_view argmin is
+    # O(n*w) over a strided view (non-contiguous reads) and cost ~18 s
+    # on a single 2.3M-char document at w~137; this runs in ~0.1 s and
+    # reproduces its LEFTMOST-min-per-window tie rule bit-exactly
+    # (numpy argmin picks the first occurrence), so fingerprints —
+    # and the golden substring anchors — are unchanged.
+    #
+    # Blocks of size w: every window [i, i+w) is a block suffix [i, c)
+    # plus (when i % w != 0, c = (i//w+1)*w) a next-block prefix
+    # [c, i+w).  Per-block prefix/suffix running (min, leftmost-argmin)
+    # come from 2D accumulates over the (nblocks, w) reshape; the
+    # window argmin is the suffix one on ties (more-left positions).
+    w = window
+    m = n - w + 1
+    nb = -(-n // w)
+    pad = nb * w - n
+    maxv = np.iinfo(np.uint64).max
+    v = np.concatenate([hashes, np.full(pad, maxv, dtype=np.uint64)]).reshape(nb, w)
+    idx2 = np.broadcast_to(np.arange(w, dtype=np.int64), (nb, w))
+
+    # prefix: leftmost argmin over [block_start, j] — update only on
+    # strictly-smaller (keeps the earlier position on ties)
+    pfx_min = np.minimum.accumulate(v, axis=1)
+    upd = np.ones((nb, w), dtype=bool)
+    upd[:, 1:] = v[:, 1:] < pfx_min[:, :-1]
+    pfx_arg = np.maximum.accumulate(np.where(upd, idx2, 0), axis=1)
+
+    # suffix: leftmost argmin over [j, block_end) — scan reversed,
+    # update on <= so the leftmost original position wins ties
+    u = v[:, ::-1]
+    sfx_min_r = np.minimum.accumulate(u, axis=1)
+    updr = np.ones((nb, w), dtype=bool)
+    updr[:, 1:] = u[:, 1:] <= sfx_min_r[:, :-1]
+    sam_r = np.maximum.accumulate(np.where(updr, idx2, 0), axis=1)
+    sfx_min = sfx_min_r[:, ::-1]
+    sfx_arg = (w - 1) - sam_r[:, ::-1]
+
+    base = (np.arange(nb, dtype=np.int64) * w)[:, None]
+    pfx_min_f = pfx_min.reshape(-1)
+    pfx_arg_f = (pfx_arg + base).reshape(-1)
+    sfx_min_f = sfx_min.reshape(-1)
+    sfx_arg_f = (sfx_arg + base).reshape(-1)
+
+    i = np.arange(m, dtype=np.int64)
+    j = i + w - 1  # last window position; in block i//w + 1 unless i%w==0
+    aligned = (i % w) == 0
+    right_min = np.where(aligned, np.uint64(maxv), pfx_min_f[j])
+    left_min = sfx_min_f[i]
+    mins = np.where(left_min <= right_min, sfx_arg_f[i], pfx_arg_f[j])
     return np.unique(mins).astype(np.int64)
 
 

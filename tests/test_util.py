@@ -102,3 +102,32 @@ def test_char_rolling_and_winnow_guarantee():
     f1 = set(h1[winnow_select(h1, window)].tolist())
     f2 = set(h2[winnow_select(h2, window)].tolist())
     assert f1 & f2
+
+
+def test_winnow_select_matches_naive_sliding_argmin():
+    """The O(n) van Herk/Gil-Werman winnow_select must reproduce the
+    naive sliding-window LEFTMOST argmin bit-exactly, including heavy
+    ties and all-max windows (the tie rule decides which fingerprints
+    anchor the substring pass — a drift would silently change edges)."""
+    import numpy as np
+
+    from dedup_ray.util import winnow_select
+
+    def naive(hashes, window):
+        n = len(hashes)
+        if n == 0:
+            return np.empty(0, dtype=np.int64)
+        if n <= window:
+            return np.array([int(np.argmin(hashes))], dtype=np.int64)
+        sw = np.lib.stride_tricks.sliding_window_view(hashes, window)
+        return np.unique(sw.argmin(axis=1) + np.arange(len(sw))).astype(np.int64)
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    for _ in range(400):
+        n = int(rng.integers(1, 500))
+        w = int(rng.integers(1, 250))
+        hi = int(rng.integers(2, 16))  # tiny range -> dense ties
+        vals = rng.integers(0, hi, n).astype(np.uint64)
+        assert np.array_equal(winnow_select(vals, w), naive(vals, w)), (n, w)
+    allmax = np.full(300, np.iinfo(np.uint64).max, dtype=np.uint64)
+    assert np.array_equal(winnow_select(allmax, 137), naive(allmax, 137))
