@@ -101,16 +101,25 @@ def cosine_topk(
     ).take_all()
     q_ids = np.array([r["vec_id"] for r in q_tbl], dtype=np.int64)
     qm = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in q_tbl])
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    q_ref = ray.put((q_ids, qm))
+    qnrm = np.linalg.norm(qm, axis=1, keepdims=True)
+    qzero = (qnrm == 0).ravel()
+    qnrm[qzero] = 1.0
+    qm = qm / qnrm
+    q_ref = ray.put((q_ids, qm, qzero))
 
     def partial_topk(t: pa.Table, *, ref, k: int) -> pa.Table:
-        q_ids, qmat = _worker_obj(ref)
+        q_ids, qmat, qz = _worker_obj(ref)
         ids, m = _batch_matrix(t)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
+        bzero = (norms == 0).ravel()
+        norms[bzero] = 1.0
         m = m / norms
         cos = m @ qmat.T  # (batch, n_queries)
+        # ORACLE convention: DuckDB's list_cosine_similarity scores a
+        # zero vector (failed/padded embedding) at -1.0 against
+        # anything — rank it last, never as a neighbor
+        cos[bzero, :] = -1.0
+        cos[:, qz] = -1.0
         out_q, out_n, out_c = [], [], []
         for j, qid in enumerate(q_ids.tolist()):
             col = cos[:, j]
@@ -183,17 +192,22 @@ def cosine_near_pairs(sf_dir: str, *, threshold: float = 0.35) -> ray.data.Datas
     matrix, per-batch matmul row-block vs everything."""
     all_ids, all_m = _collect_matrix(sf_dir)
     norms = np.linalg.norm(all_m, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
+    all_zero = (norms == 0).ravel()
+    norms[all_zero] = 1.0
     all_n = all_m / norms
-    ref = ray.put((all_ids, all_n))
+    ref = ray.put((all_ids, all_n, all_zero))
 
     def pair_finder(t: pa.Table, *, r, th: float) -> pa.Table:
-        all_ids2, all_m2 = _worker_obj(r)
+        all_ids2, all_m2, az = _worker_obj(r)
         ids, m = _batch_matrix(t)
         nn = np.linalg.norm(m, axis=1, keepdims=True)
-        nn[nn == 0] = 1.0
+        bzero = (nn == 0).ravel()
+        nn[bzero] = 1.0
         m = m / nn
         cos = m @ all_m2.T
+        # zero vectors score -1.0 against anything (oracle convention)
+        cos[bzero, :] = -1.0
+        cos[:, az] = -1.0
         rows, cols = np.nonzero(cos >= th)
         a = ids[rows]
         b = all_ids2[cols]
@@ -234,6 +248,12 @@ def _allpairs_into(
     if L < 2:
         return
     cos = m @ m.T
+    # stored vectors are pre-normalized; an all-zero row is a
+    # zero-norm original -> -1.0 against anything (oracle convention)
+    z = ~m.any(axis=1)
+    if z.any():
+        cos[z, :] = -1.0
+        cos[:, z] = -1.0
     iu, jv = np.triu_indices(L, k=1)
     keep = cos[iu, jv] >= threshold
     if not keep.any():

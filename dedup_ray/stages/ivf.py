@@ -212,6 +212,15 @@ def ivf_topk(
             qid = ids_s[s : s + L][qmask]
             cid = ids_s[s : s + L][~qmask]
             cos = cs @ qs.T  # (members, queries)
+            # pre-normalized vectors: all-zero row == zero-norm
+            # original -> -1.0 against anything (oracle convention,
+            # matches DuckDB list_cosine_similarity on zero vectors)
+            cz = ~cs.any(axis=1)
+            qz = ~qs.any(axis=1)
+            if cz.any():
+                cos[cz, :] = -1.0
+            if qz.any():
+                cos[:, qz] = -1.0
             for j in range(nq):
                 col = cos[:, j]
                 mask = cid != qid[j]

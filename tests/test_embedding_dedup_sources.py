@@ -115,3 +115,47 @@ def test_ann_and_ivf_handle_any_dim_and_zero_vectors(ray_session, tmp_path):
         # zero vectors normalize to zero similarity: never clustered
         z = got.set_index("vec_id").loc[[7, 13], "cluster_id"]
         assert list(z) == [7, 13], f"{src}: zero vectors joined a cluster"
+
+
+def test_zero_vector_scores_minus_one_like_duckdb(ray_session, tmp_path):
+    """DuckDB's list_cosine_similarity scores a zero vector at -1.0
+    against anything; the engine's topk/near-pairs kernels must use
+    the same convention so the oracles agree even on corpora with
+    failed/padded embeddings (zero vectors never rank as neighbors)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as m
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    n, d = 20, 8
+    M = rng.normal(size=(n, d)).astype(np.float32)
+    M[1] = 0.0      # a zero-vector QUERY (vec_id < 3 are queries)
+    M[9] = 0.0      # a zero-vector corpus row
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array([r.tolist() for r in M], pa.list_(pa.float32())),
+                "label": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    norm = lambda df: df[sorted(df.columns)].sort_values(
+        by=sorted(df.columns), ignore_index=True
+    )
+    for name in ("embedding_cosine_topk", "embedding_ivf_topk_exhaustive"):
+        got = m.queries()[name](str(tmp_path)).to_pandas()
+        want = con.sql(m.oracle_sql()[name]).df()
+        pd.testing.assert_frame_equal(norm(got), norm(want), check_dtype=False)
+        assert 9 not in set(got["neighbor_id"]), f"{name} ranked a zero vector"
+    con.close()
