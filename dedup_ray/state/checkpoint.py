@@ -101,8 +101,14 @@ class CheckpointedRun:
         sdir = self._stage_dir(name)
         mpath = os.path.join(sdir, MANIFEST)
         if os.path.exists(mpath):
-            with open(mpath) as f:
-                m = json.load(f)
+            # tolerate a corrupt/truncated manifest (external damage —
+            # the .tmp + os.replace protocol never renames a partial
+            # one in): treat as absent and recompute the stage
+            try:
+                with open(mpath) as f:
+                    m = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                m = {}
             if m.get("fingerprint") == fp and m.get("completed"):
                 self.report[name] = StageResult(
                     name, True, m.get("rows", -1), 0.0, fp

@@ -75,3 +75,45 @@ def test_config_change_invalidates(pages_dir, tmp_path):
     )
     assigns.to_pandas()
     assert all(not s.skipped for s in report.values())
+
+
+def test_corrupt_manifest_recomputes_instead_of_crashing(ray_session, tmp_path):
+    """External damage to a stage manifest (truncation, disk fault)
+    must be treated as 'stage absent' — recompute, don't crash.  The
+    .tmp + os.replace write protocol never produces one itself."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.state.checkpoint import CheckpointedRun
+
+    cfg = DedupConfig()
+    out = str(tmp_path / "run")
+
+    def build():
+        return ray.data.from_arrow(
+            pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+        )
+
+    run = CheckpointedRun(out, cfg)
+    ds, fp = run.run_stage("s1", [], build)
+    assert ds.count() == 3 and not run.report["s1"].skipped
+
+    # normal resume: skipped
+    run2 = CheckpointedRun(out, cfg)
+    ds2, _ = run2.run_stage("s1", [], build)
+    assert run2.report["s1"].skipped
+
+    # corrupt the manifest -> recompute cleanly
+    mpath = os.path.join(out, "s1", "manifest.json")
+    with open(mpath, "w") as f:
+        f.write('{"stage": "s1", "finge')  # truncated json
+    run3 = CheckpointedRun(out, cfg)
+    ds3, _ = run3.run_stage("s1", [], build)
+    assert ds3.count() == 3 and not run3.report["s1"].skipped
+    # and the rewritten manifest resumes again
+    run4 = CheckpointedRun(out, cfg)
+    run4.run_stage("s1", [], build)
+    assert run4.report["s1"].skipped
