@@ -65,6 +65,14 @@ def main(argv: list[str] | None = None) -> int:
         "canonical pages schema at the read; parquet is the "
         "production path — it alone supports column pruning)",
     )
+    p.add_argument(
+        "--on-bad-lines",
+        choices=("error", "skip"),
+        default="error",
+        help="jsonl/csv only: 'error' fails loudly on a malformed "
+        "line; 'skip' drops + counts them (warning per batch) so one "
+        "torn line can't kill a large ingest",
+    )
     args = p.parse_args(argv)
     if args.input_format != "parquet" and args.priority_col not in (None, "priority"):
         p.error(
@@ -115,11 +123,13 @@ def main(argv: list[str] | None = None) -> int:
         prio_col = cfg.priority_col
         fmt = args.input_format
 
+        bad_lines = args.on_bad_lines
+
         def pages_loader(path):  # noqa: F811 — intentional closure
             if fmt == "jsonl":
-                ds = read_pages_jsonl(path)
+                ds = read_pages_jsonl(path, on_bad_lines=bad_lines)
             elif fmt == "csv":
-                ds = read_pages_csv(path)
+                ds = read_pages_csv(path, on_bad_lines=bad_lines)
             else:
                 cols = list(
                     dict.fromkeys(PAGES_COLUMNS + ([prio_col] if prio_col else []))

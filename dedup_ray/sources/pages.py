@@ -66,10 +66,44 @@ def documents_as_pages(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _parse_jsonl_lines(batch: pa.Table) -> pa.Table:
+    """Line-tolerant JSONL parse: malformed lines are DROPPED and
+    counted in a warning (per batch) — the opt-in degraded-input path
+    for raw crawl shards; per-line json.loads is its honest cost."""
+    import json
+    import logging
+
+    rows = []
+    bad = 0
+    for line in batch["text"].to_pylist():
+        if not line or not line.strip():
+            continue
+        try:
+            obj = json.loads(line)
+        except (json.JSONDecodeError, TypeError):
+            bad += 1
+            continue
+        if isinstance(obj, dict):
+            rows.append(obj)
+        else:
+            bad += 1
+    if bad:
+        logging.getLogger(__name__).warning(
+            "read_pages_jsonl(on_bad_lines='skip'): dropped %d malformed "
+            "line(s) in one batch", bad,
+        )
+    keys = ("url", "warc_ts", "html", "text", "lang", "priority")
+    return pa.table(
+        {k: pa.array([r.get(k) for r in rows]) for k in keys if any(k in r for r in rows)}
+        or {"url": pa.array([], pa.string())}
+    )
+
+
 def read_pages_jsonl(
     path: str | list[str],
     *,
     drop_html: bool = False,
+    on_bad_lines: str = "error",
 ) -> ray.data.Dataset:
     """Read a pages table from JSON-Lines shards (the raw form many
     crawl dumps arrive in before Parquet conversion).  Normalizes to
@@ -78,11 +112,24 @@ def read_pages_jsonl(
     string or null, lang -> null), extras are dropped, and the output
     feeds every downstream stage unchanged.
 
+    ``on_bad_lines``: ``"error"`` (default) fails loudly on a malformed
+    line — the right posture for data whose loss must not be silent;
+    ``"skip"`` switches to a line-tolerant parser that drops and COUNTS
+    malformed lines (warning per affected batch) — for raw crawl
+    shards where a torn line must not kill a 10^12-doc ingest.
+
     Scale note: JSONL has no column pruning or row-group statistics —
     the honest cost of the format.  Conversion to Parquet is a one-off
     ``read_pages_jsonl(...).write_parquet(...)`` pipeline; production
     runs should read the Parquet."""
-    ds = ray.data.read_json(path)
+    if on_bad_lines not in ("error", "skip"):
+        raise ValueError(f"on_bad_lines must be 'error' or 'skip', got {on_bad_lines!r}")
+    if on_bad_lines == "skip":
+        ds = ray.data.read_text(path).map_batches(
+            _parse_jsonl_lines, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        ds = ray.data.read_json(path)
     return ds.map_batches(
         lambda t: _normalize_pages(t, drop_html=drop_html),
         batch_format="pyarrow",
@@ -90,15 +137,32 @@ def read_pages_jsonl(
     )
 
 
+def _skip_invalid_row(row) -> str:
+    return "skip"
+
+
 def read_pages_csv(
     path: str | list[str],
     *,
     drop_html: bool = False,
+    on_bad_lines: str = "error",
 ) -> ray.data.Dataset:
     """Read a pages table from CSV shards.  CSV cannot carry binary
     html; the column is filled with nulls.  Same normalization
-    contract as ``read_pages_jsonl``."""
-    ds = ray.data.read_csv(path)
+    contract as ``read_pages_jsonl``; ``on_bad_lines="skip"`` drops
+    rows with the wrong column count via Arrow's invalid_row_handler
+    (Arrow reports each skip through its own warning machinery)."""
+    if on_bad_lines not in ("error", "skip"):
+        raise ValueError(f"on_bad_lines must be 'error' or 'skip', got {on_bad_lines!r}")
+    if on_bad_lines == "skip":
+        from pyarrow import csv as pacsv
+
+        ds = ray.data.read_csv(
+            path,
+            parse_options=pacsv.ParseOptions(invalid_row_handler=_skip_invalid_row),
+        )
+    else:
+        ds = ray.data.read_csv(path)
     return ds.map_batches(
         lambda t: _normalize_pages(t, drop_html=drop_html),
         batch_format="pyarrow",

@@ -86,3 +86,40 @@ def test_flagship_identical_across_formats(ray_session, corpus_dirs):
     assert outs["parquet"].equals(outs["jsonl"])
     # the triplicated text forms exact clusters
     assert (~outs["parquet"]["is_canonical"]).sum() > 0
+
+
+def test_on_bad_lines_skip_matches_error_on_clean_shards(ray_session, corpus_dirs):
+    """skip mode must be a superset-safe drop-in: identical output on
+    clean shards (only malformed lines differ)."""
+    for reader, sub in ((read_pages_jsonl, "jsonl"), (read_pages_csv, "csv")):
+        want = _normalized(reader(str(corpus_dirs / sub)))
+        got = _normalized(reader(str(corpus_dirs / sub), on_bad_lines="skip"))
+        for col in ("url", "text", "lang", "priority", "warc_ts"):
+            assert got[col].tolist() == want[col].tolist(), (sub, col)
+
+
+def test_on_bad_lines_skip_drops_malformed(ray_session, tmp_path):
+    bad = tmp_path / "bad.jsonl"
+    with open(bad, "w") as f:
+        f.write('{"url": "https://a/", "text": "good", "lang": "en"}\n')
+        f.write('{"url": "https://b/", "text": "torn\n')      # malformed
+        f.write("not json at all\n")                          # malformed
+        f.write('{"url": "https://c/", "text": "good", "lang": "en"}\n')
+    df = read_pages_jsonl(str(bad), on_bad_lines="skip").to_pandas()
+    assert sorted(df["url"]) == ["https://a/", "https://c/"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_pages_jsonl(str(bad)).to_pandas()  # default: fail loudly
+    with _pytest.raises(ValueError):
+        read_pages_jsonl(str(bad), on_bad_lines="maybe")
+
+    badcsv = tmp_path / "bad.csv"
+    with open(badcsv, "w") as f:
+        f.write("url,text,lang\n")
+        f.write("https://a/,good,en\n")
+        f.write("https://b/,too,many,columns,here\n")
+        f.write("https://c/,good,en\n")
+    df = read_pages_csv(str(badcsv), on_bad_lines="skip").to_pandas()
+    assert sorted(df["url"]) == ["https://a/", "https://c/"]
