@@ -102,3 +102,31 @@ def test_permutation_invariance():
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"bands": 16, "rows_per_band": 8},
+        {"jaccard_tau": 0.5},
+    ],
+    ids=["banding-16x8", "tau-0.5"],
+)
+def test_recall_holds_at_nondefault_config(kw):
+    """The recall gate is not special to the default 32x4/tau-0.8
+    config: banding and threshold variants must clear it against the
+    brute-force oracle AT THAT CONFIG (a latent default-config
+    assumption in banding/verify would surface here)."""
+    cfg = DedupConfig(**kw)
+    pages, _ = generate_pages(1500, seed=42)
+    ds = ray.data.from_arrow(pages).map_batches(
+        lambda t: t.append_column("priority", pa.array([0] * len(t), pa.int64())),
+        batch_format="pyarrow",
+    )
+    out = flagship_assignments_from_pages(extract_text(ds), cfg).to_pandas()
+    truth = true_dup_pairs(pages, cfg, include_substring=False)
+    true_pairs = truth["exact"] | truth["near"]
+    recall, _, n_true, _ = recall_precision(true_pairs, predicted_pairs(out))
+    assert n_true > 300
+    assert recall >= 0.99, f"{kw}: recall {recall:.4f} < 0.99"
