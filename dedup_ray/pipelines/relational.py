@@ -38,20 +38,17 @@ _DEFAULT_NUM_PARTITIONS = _CFG.num_partitions
 
 # ---------------------------------------------------------------- B4/B22
 def filter_lineitem(sf_dir: str) -> ray.data.Dataset:
-    """Vectorized predicate pushdown: shipped-before-1996 cheap lines."""
-    ds = ray.data.read_parquet(
+    """Predicate pushed INTO the parquet scan (row-group statistics
+    prune whole groups; matching rows are filtered by Arrow inside the
+    read task) — nothing but qualifying rows ever leaves storage."""
+    return ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") < pa.scalar(np.datetime64("1996-01-01", "us")))
+            & (pc.field("l_quantity") < 24.0)
+        ),
     )
-
-    def pred(t: pa.Table) -> pa.Table:
-        mask = pc.and_(
-            pc.less(t["l_shipdate"], pa.scalar(np.datetime64("1996-01-01", "us"))),
-            pc.less(t["l_quantity"], 24.0),
-        )
-        return t.filter(mask)
-
-    return ds.map_batches(pred, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------- B18
@@ -69,12 +66,13 @@ def grouped_agg_q1(sf_dir: str) -> ray.data.Dataset:
             "l_discount",
             "l_shipdate",
         ],
+        # pushed into the scan: row-group stats prune, Arrow filters
+        # in the read task — the combiner only ever sees live rows
+        filter=pc.field("l_shipdate")
+        <= pa.scalar(np.datetime64("1998-09-02", "us")),
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        t = t.filter(
-            pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us")))
-        )
         disc_price = pc.multiply(
             t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
         )
@@ -968,6 +966,8 @@ def tpch_q3_shipping(
     orders_raw = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        # date predicate pushed into the scan (row-group pruning)
+        filter=pc.field("o_orderdate") < pa.scalar(cutoff),
     )
 
     def to_order_union(t: pa.Table) -> pa.Table:
@@ -995,7 +995,6 @@ def tpch_q3_shipping(
 
         def orders_side(t: pa.Table) -> pa.Table:
             keys = _worker_broadcast(bkeys_ref)  # lru-cached ray.get per worker
-            t = t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff)))
             ck = t["o_custkey"].to_numpy(zero_copy_only=False)
             if len(keys):
                 pos = np.searchsorted(keys, ck)
@@ -1010,13 +1009,8 @@ def tpch_q3_shipping(
             orders_side, batch_format="pyarrow", zero_copy_batch=True
         )
     else:
-        filtered = orders_raw.map_batches(
-            lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
         orders = exchange_join_unique_dim(
-            filtered,
+            orders_raw,
             cust,
             fact_key="o_custkey",
             dim_key="c_custkey",
@@ -1029,7 +1023,6 @@ def tpch_q3_shipping(
         ).map_batches(to_order_union, batch_format="pyarrow", zero_copy_batch=True)
 
     def lineitem_side(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
         rev = pc.multiply(
             t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
         )
@@ -1046,6 +1039,7 @@ def tpch_q3_shipping(
     lines = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pc.field("l_shipdate") > pa.scalar(cutoff),
     ).map_batches(lineitem_side, batch_format="pyarrow", zero_copy_batch=True)
 
     empty = pa.table(
@@ -1166,19 +1160,16 @@ def tpch_q5_region_revenue(
     orders_raw = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        # year-range predicate pushed into the scan (row-group pruning)
+        filter=(
+            (pc.field("o_orderdate") >= pa.scalar(lo))
+            & (pc.field("o_orderdate") < pa.scalar(hi))
+        ),
     )
     lines_raw = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
-
-    def _order_date_filter(t: pa.Table) -> pa.Table:
-        return t.filter(
-            pc.and_(
-                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
-                pc.less(t["o_orderdate"], pa.scalar(hi)),
-            )
-        )
 
     def _line_rev(t: pa.Table) -> pa.Table:
         rev = pc.multiply(
@@ -1214,7 +1205,6 @@ def tpch_q5_region_revenue(
 
         def orders_side(t: pa.Table) -> pa.Table:
             (ck, cn), _ = _worker_broadcast(probes_ref)
-            t = _order_date_filter(t)
             keys = t["o_custkey"].to_numpy(zero_copy_only=False)
             idx = np.minimum(np.searchsorted(ck, keys), max(len(ck) - 1, 0))
             hit = (ck[idx] == keys) if len(ck) else np.zeros(len(keys), bool)
@@ -1288,9 +1278,7 @@ def tpch_q5_region_revenue(
             zero_copy_batch=True,
         )
         orders_j = exchange_join_unique_dim(
-            orders_raw.map_batches(
-                _order_date_filter, batch_format="pyarrow", zero_copy_batch=True
-            ),
+            orders_raw,
             cust_dim,
             fact_key="o_custkey",
             dim_key="c_custkey",
