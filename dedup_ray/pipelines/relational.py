@@ -327,11 +327,12 @@ def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
     inside each filter task — no shuffle join (SURVEY.md §4 'broadcast
     small sides')."""
     orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"],
+        # price predicate pushed into the scan (row-group pruning)
+        filter=pc.field("o_totalprice") > 250000.0,
     ).map_batches(
-        lambda t: t.filter(pc.greater(t["o_totalprice"], 250000.0)).select(
-            ["o_custkey"]
-        ),
+        lambda t: t.select(["o_custkey"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -955,11 +956,12 @@ def tpch_q3_shipping(
     cutoff = np.datetime64("1995-03-15", "us")
     cap = BROADCAST_BUILD_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
     cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        # segment predicate pushed into the scan
+        filter=pc.field("c_mktsegment") == "BUILDING",
     ).map_batches(
-        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
-            ["c_custkey"]
-        ),
+        lambda t: t.select(["c_custkey"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
