@@ -66,3 +66,53 @@ def test_exchange_join_unique_dim_empty_dim(ray_session):
         num_partitions=4,
     )
     assert out.count() == 0
+
+
+def test_exchange_join_matches_pandas_merge_random(ray_session):
+    """exchange_join_unique_dim vs pandas inner merge over random
+    shapes: dense/sparse key overlap, empty fact, empty dim, no-match,
+    semi-join (dim_fields=[])."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.core import exchange_join_unique_dim
+
+    rng = np.random.Generator(np.random.PCG64(77))
+    shapes = [(200, 30), (50, 50), (0, 10), (10, 0), (300, 5)]
+    for n_fact, n_dim in shapes:
+        fkeys = rng.integers(0, 60, n_fact).astype(np.int64)
+        fval = rng.integers(0, 1000, n_fact).astype(np.int64)
+        dkeys = rng.permutation(60)[:n_dim].astype(np.int64)  # unique
+        dval = rng.integers(0, 9, n_dim).astype(np.int64)
+        fact = ray.data.from_arrow(pa.table({
+            "k": pa.array(fkeys), "v": pa.array(fval)}))
+        dim = ray.data.from_arrow(pa.table({
+            "dk": pa.array(dkeys), "dv": pa.array(dval)}))
+
+        got = exchange_join_unique_dim(
+            fact, dim, fact_key="k", dim_key="dk",
+            fact_fields=[("k", pa.int64()), ("v", pa.int64())],
+            dim_fields=[("dv", pa.int64())],
+            num_partitions=8,
+        ).to_pandas()
+        want = pd.DataFrame({"k": fkeys, "v": fval}).merge(
+            pd.DataFrame({"k": dkeys, "dv": dval}), on="k", how="inner")
+        cols = ["k", "v", "dv"]
+        if len(want) == 0:
+            assert len(got) == 0, (n_fact, n_dim)
+        else:
+            got_s = got[cols].sort_values(cols, ignore_index=True)
+            want_s = want[cols].sort_values(cols, ignore_index=True)
+            pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+
+        # semi-join variant
+        semi = exchange_join_unique_dim(
+            fact, dim, fact_key="k", dim_key="dk",
+            fact_fields=[("k", pa.int64()), ("v", pa.int64())],
+            dim_fields=[], num_partitions=8,
+        ).to_pandas()
+        want_semi = pd.DataFrame({"k": fkeys, "v": fval})
+        want_semi = want_semi[want_semi["k"].isin(set(dkeys.tolist()))]
+        assert len(semi) == len(want_semi), (n_fact, n_dim)
