@@ -116,6 +116,13 @@ class DedupConfig:
                 f"(got margin={self.verify_margin}, tau={self.jaccard_tau}); "
                 "a non-positive verify threshold would pass every candidate"
             )
+        if self.cc_method not in ("tree_reduce", "label_prop"):
+            # catch the typo at construction, not hours later in the
+            # final clustering stage of a long job
+            raise ValueError(
+                f"cc_method must be 'tree_reduce' or 'label_prop', "
+                f"got {self.cc_method!r}"
+            )
 
     @property
     def uniform_priority(self) -> bool:

@@ -1685,6 +1685,13 @@ def events_daily_top_type(sf_dir: str) -> ray.data.Dataset:
     )
 
     def partial(t: pa.Table) -> pa.Table:
+        # "per day" is defined over non-null timestamps — stated in the
+        # oracle SQL too (WHERE ts IS NOT NULL).  Without the explicit
+        # filter the two sides diverge on null ts: DuckDB's window
+        # PARTITION BY treats every NULL day as a DISTINCT partition
+        # (one rn=1 row per (null, type) group), while the kernel's
+        # int64 cast would NaN-poison the day keys.
+        t = t.filter(pc.is_valid(t["ts"]))
         day = pc.floor_temporal(t["ts"], unit="day")
         g = (
             pa.table({"day": day, "event_type": t["event_type"]})
@@ -1754,7 +1761,7 @@ EVENTS_DAILY_TOP_TYPE_SQL = """
 WITH c AS (
   SELECT date_trunc('day', ts) AS day, event_type,
          cast(count(*) AS bigint) AS n
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), r AS (
   SELECT day, event_type, n,
          row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rn

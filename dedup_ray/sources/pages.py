@@ -66,10 +66,25 @@ def documents_as_pages(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)
 
 
+#: expected scalar types per canonical key — a line whose value fails
+#: its type is SCHEMA-malformed and dropped like a syntax-malformed one
+_JSONL_TYPES = {
+    "url": str,
+    "warc_ts": str,
+    "html": (str, bytes),
+    "text": str,
+    "lang": str,
+    "priority": int,
+}
+
+
 def _parse_jsonl_lines(batch: pa.Table) -> pa.Table:
     """Line-tolerant JSONL parse: malformed lines are DROPPED and
     counted in a warning (per batch) — the opt-in degraded-input path
-    for raw crawl shards; per-line json.loads is its honest cost."""
+    for raw crawl shards; per-line json.loads is its honest cost.
+    Malformed covers BOTH syntax damage (torn json) and schema damage
+    (a wrong-typed value, e.g. text carrying a list) — either would
+    otherwise fail the whole read task at the Arrow conversion."""
     import json
     import logging
 
@@ -83,7 +98,20 @@ def _parse_jsonl_lines(batch: pa.Table) -> pa.Table:
         except (json.JSONDecodeError, TypeError):
             bad += 1
             continue
-        if isinstance(obj, dict):
+        if not isinstance(obj, dict):
+            bad += 1
+            continue
+        ok = True
+        for k, ty in _JSONL_TYPES.items():
+            v = obj.get(k)
+            # bool is an int subclass; a json true/false priority is
+            # schema damage, not a priority
+            if v is not None and (
+                not isinstance(v, ty) or isinstance(v, bool)
+            ):
+                ok = False
+                break
+        if ok:
             rows.append(obj)
         else:
             bad += 1
@@ -92,7 +120,7 @@ def _parse_jsonl_lines(batch: pa.Table) -> pa.Table:
             "read_pages_jsonl(on_bad_lines='skip'): dropped %d malformed "
             "line(s) in one batch", bad,
         )
-    keys = ("url", "warc_ts", "html", "text", "lang", "priority")
+    keys = tuple(_JSONL_TYPES)
     return pa.table(
         {k: pa.array([r.get(k) for r in rows]) for k in keys if any(k in r for r in rows)}
         or {"url": pa.array([], pa.string())}

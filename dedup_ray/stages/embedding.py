@@ -54,8 +54,17 @@ def _embedding_dim(sf_dir: str) -> int:
     typ = pf.schema_arrow.field("embedding").type
     if pa.types.is_fixed_size_list(typ):
         return typ.list_size
+    if pf.metadata.num_rows == 0:
+        # empty plain-list table: no vectors will flow, any width works
+        return 1
     head = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
-    return len(head.column(0)[0])
+    first = head.column(0)[0]
+    if not first.is_valid:
+        raise ValueError(
+            "cannot infer embedding dimension: first embedding is null "
+            "(plain list column carries no static width)"
+        )
+    return len(first)
 
 
 def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:

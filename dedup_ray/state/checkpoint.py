@@ -103,11 +103,16 @@ class CheckpointedRun:
         if os.path.exists(mpath):
             # tolerate a corrupt/truncated manifest (external damage —
             # the .tmp + os.replace protocol never renames a partial
-            # one in): treat as absent and recompute the stage
+            # one in): treat as absent and recompute the stage.
+            # ValueError covers JSONDecodeError AND UnicodeDecodeError
+            # (binary garbage); a non-object JSON payload is equally
+            # not a manifest.
             try:
                 with open(mpath) as f:
                     m = json.load(f)
-            except (json.JSONDecodeError, OSError):
+            except (ValueError, OSError):
+                m = {}
+            if not isinstance(m, dict):
                 m = {}
             if m.get("fingerprint") == fp and m.get("completed"):
                 self.report[name] = StageResult(

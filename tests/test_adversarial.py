@@ -145,3 +145,40 @@ def test_zero_row_corpus_flagship(ray_session):
         empty, DedupConfig(), substring_pass=True
     )
     assert out.count() == 0
+
+
+def test_cc_method_typo_caught_at_construction():
+    import pytest as _pytest
+
+    from dedup_ray.config import DedupConfig
+
+    with _pytest.raises(ValueError, match="cc_method"):
+        DedupConfig(cc_method="labelprop")
+
+
+def test_embedding_dim_degenerate_plain_list(ray_session, tmp_path):
+    """Empty plain-list embeddings must not crash the dim probe; a
+    null first embedding gets a clean error."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from dedup_ray.stages.embedding import _embedding_dim, embedding_dedup
+
+    pq.write_table(
+        pa.table({"vec_id": pa.array([], pa.int64()),
+                  "embedding": pa.array([], pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    assert _embedding_dim(str(tmp_path)) == 1
+    out = embedding_dedup(str(tmp_path), pairs_source="ann_lsh")
+    assert out.count() == 0
+
+    pq.write_table(
+        pa.table({"vec_id": pa.array([0, 1], pa.int64()),
+                  "embedding": pa.array([None, [1.0, 2.0]], pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    with _pytest.raises(ValueError, match="null"):
+        _embedding_dim(str(tmp_path))

@@ -117,3 +117,31 @@ def test_corrupt_manifest_recomputes_instead_of_crashing(ray_session, tmp_path):
     run4 = CheckpointedRun(out, cfg)
     run4.run_stage("s1", [], build)
     assert run4.report["s1"].skipped
+
+
+def test_binary_garbage_and_nondict_manifest_recompute(ray_session, tmp_path):
+    """Binary garbage (UnicodeDecodeError is a ValueError, not a
+    JSONDecodeError) and a valid-JSON-but-not-an-object manifest must
+    both be treated as absent."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.state.checkpoint import CheckpointedRun
+
+    cfg = DedupConfig()
+    out = str(tmp_path / "run")
+
+    def build():
+        return ray.data.from_arrow(pa.table({"x": pa.array([1, 2], pa.int64())}))
+
+    CheckpointedRun(out, cfg).run_stage("s1", [], build)
+    mpath = os.path.join(out, "s1", "manifest.json")
+    for damage in (b"\xff\xfe\x00garbage", b"[1, 2, 3]"):
+        with open(mpath, "wb") as f:
+            f.write(damage)
+        run = CheckpointedRun(out, cfg)
+        ds, _ = run.run_stage("s1", [], build)
+        assert ds.count() == 2 and not run.report["s1"].skipped, damage

@@ -158,3 +158,45 @@ def test_asof_last_click_edge_cases(tmp_path):
     assert by_id.loc[4, "last_click_id"] == 3          # purchase -> latest click
     assert got[got.user_id == 9]["last_click_id"].isna().all()  # isolation
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_events_daily_top_type_null_ts(tmp_path):
+    """NULL timestamps: both sides define "per day" over non-null ts
+    (stated in the SQL's WHERE) — without it DuckDB's window PARTITION
+    BY makes every NULL day its own partition while the kernel's int64
+    cast NaN-poisons the day keys."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.Generator(np.random.PCG64(4))
+    n = 400
+    ts = (rng.integers(0, 8, n) * 86_400_000_000).astype("datetime64[us]")
+    mask = rng.random(n) < 0.08
+    ts_col = pa.array(
+        [None if mk else t for t, mk in zip(ts.tolist(), mask.tolist())],
+        pa.timestamp("us"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": ts_col,
+                "user_id": pa.array(rng.integers(1, 5, n), pa.int64()),
+                "event_type": pa.array(rng.choice(["click", "view", "buy"], n)),
+                "value": pa.array(rng.normal(size=n)),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    name = "events_daily_top_type"
+    got = normalize(to_pandas(entrymod.queries()[name](str(tmp_path))))
+    want = normalize(con.sql(entrymod.oracle_sql()[name]).df())
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert not got["day"].isna().any()

@@ -123,3 +123,18 @@ def test_on_bad_lines_skip_drops_malformed(ray_session, tmp_path):
         f.write("https://c/,good,en\n")
     df = read_pages_csv(str(badcsv), on_bad_lines="skip").to_pandas()
     assert sorted(df["url"]) == ["https://a/", "https://c/"]
+
+
+def test_on_bad_lines_skip_drops_schema_malformed(ray_session, tmp_path):
+    """Valid-JSON lines with wrong-TYPED values (text as a list,
+    priority as a string/bool) are schema damage and must be dropped
+    + counted like syntax damage — not crash the Arrow conversion."""
+    bad = tmp_path / "schema_bad.jsonl"
+    with open(bad, "w") as f:
+        f.write('{"url": "https://a/", "text": "good", "lang": "en"}\n')
+        f.write('{"url": "https://b/", "text": ["a", "b"], "lang": "en"}\n')
+        f.write('{"url": "https://c/", "text": "good", "priority": "high"}\n')
+        f.write('{"url": "https://d/", "text": "good", "priority": true}\n')
+        f.write('{"url": "https://e/", "text": "good", "priority": 2}\n')
+    df = read_pages_jsonl(str(bad), on_bad_lines="skip").to_pandas()
+    assert sorted(df["url"]) == ["https://a/", "https://e/"]
