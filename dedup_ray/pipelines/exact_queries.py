@@ -365,9 +365,12 @@ def dedup_rate_by_source(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    # slim the exchange rows: the kernel reads only sha/url/source —
+    # without the select the full document text (the dominant byte
+    # volume) would ride the hash exchange untouched
     hashed = add_content_sha256(
         ds.map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)
-    )
+    ).select_columns(["url", "source", "content_sha256", "sha_u64"])
 
     empty = pa.table(
         {

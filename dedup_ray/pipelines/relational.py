@@ -155,9 +155,13 @@ def _enrich_mktsegment(t: pa.Table, ref) -> pa.Table:
     keys, segs = _worker_broadcast(ref)
     ck = t["o_custkey"].to_numpy(zero_copy_only=False)
     if len(keys) == 0:
-        ck = ck[:0]
-    idx = np.minimum(np.searchsorted(keys, ck), max(len(keys) - 1, 0))
-    found = keys[idx] == ck
+        # the found mask must stay batch-length (an empty build side
+        # drops every row; a zero-length mask would fail the filter)
+        idx = np.zeros(0, dtype=np.int64)
+        found = np.zeros(len(ck), dtype=bool)
+    else:
+        idx = np.minimum(np.searchsorted(keys, ck), len(keys) - 1)
+        found = keys[idx] == ck
     return pa.table(
         {
             "c_mktsegment": pa.array(segs[idx[found]], type=pa.string()),
@@ -266,7 +270,11 @@ def distinct_event_types(sf_dir: str) -> ray.data.Dataset:
     equivalent to ds.unique() but stays a Dataset with a named column."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
     partial = ds.map_batches(
-        lambda t: t.group_by("event_type").aggregate([]),
+        # distinct over non-null types (stated in the SQL's WHERE):
+        # Ray's sort-based groupby cannot order None among strings
+        lambda t: t.filter(pc.is_valid(t["event_type"]))
+        .group_by("event_type")
+        .aggregate([]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -275,7 +283,9 @@ def distinct_event_types(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-DISTINCT_EVENT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
+DISTINCT_EVENT_TYPES_SQL = (
+    "SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL"
+)
 
 
 # ---------------------------------------------------------------- B22
@@ -387,6 +397,13 @@ def events_hourly_window(sf_dir: str) -> ray.data.Dataset:
     )
 
     def add_window(t: pa.Table) -> pa.Table:
+        # windows over timestamped, attributed events (stated in the
+        # SQL's WHERE): Ray's sort-shuffle groupby places null keys
+        # nondeterministically at partition boundaries, which can split
+        # a null-key group into two output rows
+        t = t.filter(
+            pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["user_id"]))
+        )
         hour = pc.floor_temporal(t["ts"], unit="hour")
         return pa.table(
             {"user_id": t["user_id"], "hour": hour, "value": t["value"]}
@@ -416,6 +433,7 @@ SELECT user_id,
        count(*)                   AS n_events,
        round(sum(value), 3)       AS sum_value
 FROM events
+WHERE ts IS NOT NULL AND user_id IS NOT NULL
 GROUP BY user_id, date_trunc('hour', ts)
 """
 
@@ -424,7 +442,17 @@ GROUP BY user_id, date_trunc('hour', ts)
 def union_shards(sf_dir: str) -> ray.data.Dataset:
     """ds.union of two disjoint filtered shards, then distinct count by
     type — exercises set-union plus dedup-after-union."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(
+        # grouped over non-null types (stated in the SQL's WHERE) —
+        # Ray's sort groupby cannot order None among strings; the
+        # value shard predicates already drop null values identically
+        # on both sides (SQL comparison semantics)
+        lambda t: t.filter(pc.is_valid(t["event_type"])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     lo = ds.map_batches(
         lambda t: t.filter(pc.less(t["value"], 0.0)),
         batch_format="pyarrow",
@@ -448,22 +476,14 @@ def union_shards(sf_dir: str) -> ray.data.Dataset:
 
 UNION_SHARDS_SQL = """
 SELECT event_type, count(*) AS n
-FROM (SELECT * FROM events WHERE value < 0
+FROM (SELECT * FROM events WHERE value < 0 AND event_type IS NOT NULL
       UNION ALL
-      SELECT * FROM events WHERE value >= 0)
+      SELECT * FROM events WHERE value >= 0 AND event_type IS NOT NULL)
 GROUP BY event_type
 """
 
 
 # ---------------------------------------------------------------- B21 3-way
-import functools
-
-
-@functools.lru_cache(maxsize=4)
-def _worker_broadcast(ref):
-    return ray.get(ref)
-
-
 def _enrich_region(t: pa.Table, ref) -> pa.Table:
     m = _worker_broadcast(ref)
     names = [m.get(k) for k in t["c_nationkey"].to_pylist()]
@@ -613,6 +633,16 @@ def asof_last_click(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"],
+    ).map_batches(
+        # as-of is defined for timestamped, attributed events — stated
+        # in the oracle SQL's CTE (WHERE ts/user_id IS NOT NULL).  A
+        # null ts would otherwise NaN-degrade the int64 cast and rank
+        # the row AFTER every real click (silently attributing it)
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["user_id"]))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     empty = pa.table(
         {
@@ -684,11 +714,14 @@ def asof_last_click(sf_dir: str) -> ray.data.Dataset:
 
 
 ASOF_LAST_CLICK_SQL = """
+WITH ev AS (
+  SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+)
 SELECT e.event_id, e.user_id, e.ts, e.event_type,
        c.event_id AS last_click_id,
        c.ts       AS last_click_ts
-FROM events e
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+FROM ev e
+ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
   ON e.user_id = c.user_id AND e.ts > c.ts
 """
 
@@ -714,6 +747,15 @@ def events_sessionize(sf_dir: str) -> ray.data.Dataset:
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    ).map_batches(
+        # sessions are defined over timestamped, attributed events —
+        # stated in the SQL's CTE WHERE; null ts NaN-degrades the
+        # int64 cast and silently mis-sequences that user's sessions
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["user_id"]))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     empty = pa.table(
         {
@@ -761,6 +803,7 @@ WITH seq AS (
   SELECT event_id, user_id, ts,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
 )
 SELECT event_id, user_id, ts,
        CAST(sum(CASE WHEN prev_ts IS NULL
@@ -801,30 +844,43 @@ def events_value_quantiles(sf_dir: str) -> ray.data.Dataset:
     )
 
     def kernel(g: pa.Table) -> pa.Table:
-        g = g.filter(pc.is_valid(g["value"]))
+        # keep groups whose values are ALL null: SQL's GROUP BY still
+        # emits them with p50/p95 NULL and count(value) = 0
         et = g["event_type"].to_numpy(zero_copy_only=False)
-        val = g["value"].to_numpy(zero_copy_only=False)
+        invalid = pc.is_null(g["value"]).to_numpy(zero_copy_only=False)
+        val = pc.fill_null(g["value"], 0.0).to_numpy(zero_copy_only=False)
         codes, inv = np.unique(et, return_inverse=True)
-        order = np.lexsort((val, inv))
+        # per group: valid values first (sorted), nulls last
+        order = np.lexsort((val, invalid, inv))
         vs, gs = val[order], inv[order]
         from dedup_ray.core import segments
 
         starts, lens = segments(gs)
+        n_valid = np.add.reduceat((~invalid[order]).astype(np.int64), starts)
+        has = n_valid > 0
 
         def q_at(p: float) -> np.ndarray:
             # PERCENTILE_CONT: linear interpolation at rank p*(n-1)
-            pos = starts + p * (lens - 1)
+            # over the VALID prefix of each segment
+            nv = np.maximum(n_valid, 1)
+            pos = starts + p * (nv - 1)
             lo = np.floor(pos).astype(np.int64)
-            hi = np.minimum(lo + 1, starts + lens - 1)
+            hi = np.minimum(lo + 1, starts + nv - 1)
             frac = pos - lo
             return vs[lo] * (1 - frac) + vs[hi] * frac
+
+        def masked(vals: np.ndarray) -> pa.Array:
+            return pa.array(
+                [float(v) if h else None for v, h in zip(vals, has)],
+                type=pa.float64(),
+            )
 
         return pa.table(
             {
                 "event_type": pa.array(codes[gs[starts]], type=pa.string()),
-                "p50": sql_round(pa.array(q_at(0.5), type=pa.float64()), 6),
-                "p95": sql_round(pa.array(q_at(0.95), type=pa.float64()), 6),
-                "n": pa.array(lens, type=pa.int64()),
+                "p50": sql_round(masked(q_at(0.5)), 6),
+                "p95": sql_round(masked(q_at(0.95)), 6),
+                "n": pa.array(n_valid, type=pa.int64()),
             }
         )
 
@@ -837,8 +893,16 @@ def events_value_quantiles(sf_dir: str) -> ray.data.Dataset:
         uh = hash_strings_u64(d.dictionary.to_pylist())
         return uh[d.indices.to_numpy(zero_copy_only=False)]
 
+    # "per type" is defined over non-null event_type — stated in the
+    # oracle SQL's WHERE; a null type would NaN-poison the dictionary
+    # indices in type_key and np.unique cannot sort None among strings
+    typed = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["event_type"])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     return partitioned_kernel(
-        ds,
+        typed,
         type_key,
         kernel,
         num_partitions=8,
@@ -852,6 +916,7 @@ SELECT event_type,
        round(quantile_cont(value, 0.95), 6) AS p95,
        CAST(count(value) AS BIGINT)         AS n
 FROM events
+WHERE event_type IS NOT NULL
 GROUP BY event_type
 """
 
@@ -867,8 +932,16 @@ def distinct_users_by_type(sf_dir: str) -> ray.data.Dataset:
     )
     from dedup_ray.core import numeric_key_u64, partitioned_kernel
 
+    # non-null semantics stated in the SQL: types over non-null
+    # event_type (WHERE), and count(DISTINCT user_id) ignores null
+    # users by SQL rule — both filtered here so the pair math below
+    # never sees a NaN-degraded column
     pairs = ds.map_batches(
-        lambda t: t.group_by(["event_type", "user_id"]).aggregate([]),
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t["event_type"]), pc.is_valid(t["user_id"]))
+        )
+        .group_by(["event_type", "user_id"])
+        .aggregate([]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -923,6 +996,7 @@ def distinct_users_by_type(sf_dir: str) -> ray.data.Dataset:
 DISTINCT_USERS_BY_TYPE_SQL = """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events
+WHERE event_type IS NOT NULL AND user_id IS NOT NULL
 GROUP BY event_type
 """
 
@@ -1418,6 +1492,16 @@ def events_interarrival(sf_dir: str) -> ray.data.Dataset:
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    ).map_batches(
+        # gaps are defined over timestamped, attributed events — stated
+        # in the SQL's CTE WHERE.  A null ts would NaN-degrade the
+        # int64 cast and the NaN diff silently casts to INT64_MIN in
+        # the preallocated gaps array (garbage stats, no error)
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["user_id"]))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
     empty = pa.table(
@@ -1479,6 +1563,7 @@ WITH g AS (
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                    ts) AS gap_us
   FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
 )
 SELECT user_id,
        cast(count(gap_us) AS bigint) AS n_gaps,
@@ -1525,6 +1610,21 @@ def orders_rollup(sf_dir: str) -> ray.data.Dataset:
     )
 
     def rollup(t: pa.Table) -> pa.Table:
+        # schema guard (CLAUDE.md): empty grouped partitions emit
+        # schema-less blocks.  On a fully empty orders table SQL's
+        # ROLLUP still emits the ('ALL','ALL',0,NULL) grand-total row —
+        # matched here when the block reaches us (a 0-row block that
+        # bypasses map_batches entirely cannot be patched at this
+        # layer; the driver tables are never empty).
+        if "o_orderstatus" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {
+                    "o_orderstatus": pa.array(["ALL"], pa.string()),
+                    "o_orderpriority": pa.array(["ALL"], pa.string()),
+                    "n": pa.array([0], pa.int64()),
+                    "sum_price": pa.array([None], pa.float64()),
+                }
+            )
         status = np.array(t["o_orderstatus"].to_pylist(), dtype=object)
         prio = np.array(t["o_orderpriority"].to_pylist(), dtype=object)
         sums = t["sum_raw"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -1685,13 +1785,15 @@ def events_daily_top_type(sf_dir: str) -> ray.data.Dataset:
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        # "per day" is defined over non-null timestamps — stated in the
-        # oracle SQL too (WHERE ts IS NOT NULL).  Without the explicit
-        # filter the two sides diverge on null ts: DuckDB's window
-        # PARTITION BY treats every NULL day as a DISTINCT partition
-        # (one rn=1 row per (null, type) group), while the kernel's
-        # int64 cast would NaN-poison the day keys.
-        t = t.filter(pc.is_valid(t["ts"]))
+        # non-null semantics stated in the oracle SQL's WHERE: "per
+        # day" over non-null ts (DuckDB's window PARTITION BY treats
+        # every NULL day as a DISTINCT partition — one rn=1 row per
+        # (null, type) group — while the kernel's int64 cast would
+        # NaN-poison the day keys), and competing types over non-null
+        # event_type (np.unique cannot sort None among strings).
+        t = t.filter(
+            pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["event_type"]))
+        )
         day = pc.floor_temporal(t["ts"], unit="day")
         g = (
             pa.table({"day": day, "event_type": t["event_type"]})
@@ -1761,7 +1863,9 @@ EVENTS_DAILY_TOP_TYPE_SQL = """
 WITH c AS (
   SELECT date_trunc('day', ts) AS day, event_type,
          cast(count(*) AS bigint) AS n
-  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
 ), r AS (
   SELECT day, event_type, n,
          row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rn

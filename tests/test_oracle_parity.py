@@ -200,3 +200,64 @@ def test_events_daily_top_type_null_ts(tmp_path):
     con.close()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert not got["day"].isna().any()
+
+
+NULL_EVENTS_QUERIES = [
+    "events_daily_top_type", "events_value_quantiles",
+    "distinct_users_by_type", "asof_last_click", "events_interarrival",
+    "events_sessionize", "events_hourly_window", "distinct_event_types",
+    "union_shards",
+]
+
+
+@pytest.fixture(scope="module")
+def null_events_dir(tmp_path_factory):
+    """Events with nulls seeded in EVERY column the family keys on —
+    the input class the fixed sf tables never produce.  All null
+    semantics are stated explicitly in the oracle SQL (WHERE clauses),
+    so both sides stay bit-exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("nullev")
+    rng = np.random.Generator(np.random.PCG64(6))
+    n = 600
+    ts = rng.integers(0, 6, n) * 86_400_000_000 + rng.integers(0, 3_600_000_000, n)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(
+                    [None if rng.random() < 0.06 else int(t) for t in ts],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array(
+                    [None if rng.random() < 0.05 else int(u)
+                     for u in rng.integers(1, 6, n)], pa.int64()),
+                "event_type": pa.array(
+                    [None if rng.random() < 0.05 else t
+                     for t in rng.choice(["click", "view", "buy"], n)],
+                    pa.string()),
+                "value": pa.array(
+                    [None if rng.random() < 0.3 else float(v)
+                     for v in np.round(rng.normal(10, 5, n), 3)], pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", NULL_EVENTS_QUERIES)
+def test_events_family_null_columns_parity(name, null_events_dir, ray_session):
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{null_events_dir}/events.parquet')"
+    )
+    got = normalize(to_pandas(entrymod.queries()[name](null_events_dir)))
+    want = normalize(con.sql(entrymod.oracle_sql()[name]).df())
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
