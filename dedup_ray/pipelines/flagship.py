@@ -363,13 +363,13 @@ def _pick_canonical_by_priority(
     def pick_kernel(g: pa.Table) -> pa.Table:
         if "cluster_id" not in g.column_names or len(g) == 0:
             return _PICK_EMPTY
-        from dedup_ray.stages.lsh import segments_obj
+        from dedup_ray.core import segments as _segments
 
         cl = np.array(g["cluster_id"].to_pylist(), dtype=object)
         urls = np.array(g["url"].to_pylist(), dtype=object)
         prio = g["priority"].to_numpy(zero_copy_only=False)
         order = np.lexsort((urls, prio, cl))
-        starts, _lens = segments_obj(cl[order])
+        starts, _lens = _segments(cl[order])
         mask = np.zeros(len(g), dtype=bool)
         mask[order[starts]] = True
         if "is_canonical" in g.column_names:  # placeholder from assign

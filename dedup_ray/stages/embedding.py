@@ -86,6 +86,9 @@ def _collect_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
         i, m = _batch_matrix(b)
         ids_list.append(i)
         mats.append(m)
+    if not mats:
+        # zero-row table: np.vstack([]) would raise
+        return np.empty(0, dtype=np.int64), np.empty((0, 1), dtype=np.float64)
     return np.concatenate(ids_list), np.vstack(mats)
 
 
@@ -108,6 +111,18 @@ def cosine_topk(
         columns=["vec_id", "embedding"],
         filter=_pc.field("vec_id") < n_queries,
     ).take_all()
+    if not q_tbl:
+        # no vec_id < n_queries in this corpus (ids can start anywhere)
+        # — the query set, and so the result, is empty
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
     q_ids = np.array([r["vec_id"] for r in q_tbl], dtype=np.int64)
     qm = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in q_tbl])
     qnrm = np.linalg.norm(qm, axis=1, keepdims=True)

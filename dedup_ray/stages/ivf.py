@@ -34,13 +34,25 @@ import ray
 import ray.data
 
 from dedup_ray.core import partitioned_kernel, segments
-from dedup_ray.stages.embedding import _batch_matrix, _read_embeddings
+from dedup_ray.stages.embedding import (
+    _batch_matrix,
+    _read_embeddings,
+    _worker_obj,
+)
 
 _TOPK_EMPTY = pa.table(
     {
         "query_id": pa.array([], type=pa.int64()),
         "neighbor_id": pa.array([], type=pa.int64()),
         "cos": pa.array([], type=pa.float64()),
+    }
+)
+
+_TOPK_OUT_EMPTY = pa.table(
+    {
+        "query_id": pa.array([], type=pa.int64()),
+        "neighbor_id": pa.array([], type=pa.int64()),
+        "rank": pa.array([], type=pa.int64()),
     }
 )
 
@@ -77,7 +89,23 @@ def train_codebook(
         ids, m = _batch_matrix(b)
         mats.append(m)
         id_chunks.append(ids)
-    x = np.vstack(mats)
+    if not mats or sum(len(m) for m in mats) == 0:
+        # the bitmask sample can be empty for STRUCTURED id spaces
+        # (all-odd ids, hashed ids with fixed low bits) even when the
+        # corpus is not — fall back to sampling every row rather than
+        # crashing the k-means on an empty matrix; structured-id users
+        # should raise sample_mod only as far as their id layout allows
+        full = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        for b in full.iter_batches(batch_format="pyarrow", batch_size=65536):
+            ids, m = _batch_matrix(b)
+            mats.append(m)
+            id_chunks.append(ids)
+    if not mats or sum(len(m) for m in mats) == 0:
+        raise ValueError("cannot train an IVF codebook on an empty embeddings table")
+    x = np.vstack([m for m in mats if len(m)])
+    id_chunks = [i for i in id_chunks if len(i)]
     # batches arrive in block order, which varies with session
     # parallelism — canonicalize by vec_id or the k-means init (and so
     # the whole codebook) would depend on CPU count
@@ -129,13 +157,20 @@ def ivf_topk(
         columns=["vec_id", "embedding"],
         filter=pc.field("vec_id") < n_queries,
     ).take_all()
+    if not q_rows:
+        # no vec_id < n_queries in this corpus: the SQL contract's
+        # query set is empty, so the result is too
+        return ray.data.from_arrow(_TOPK_OUT_EMPTY)
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     qm = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
     qn = np.linalg.norm(qm, axis=1, keepdims=True)
     qn[qn == 0] = 1.0
     qm = qm / qn
-    # each query probes its n_probe nearest lists
-    q_lists = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]
+    # each query probes its n_probe nearest lists; kind="stable" keeps
+    # the lower centroid index on cosine ties (zero-vector queries,
+    # duplicate centroids) — introsort tie order varies across numpy
+    # builds, against the determinism-everywhere rule
+    q_lists = np.argsort(-(qm @ cent.T), axis=1, kind="stable")[:, :n_probe]
     q_ref = ray.put((q_ids, qm, q_lists))
 
     dim = qm.shape[1]
@@ -250,29 +285,19 @@ def ivf_topk(
         empty_result=_TOPK_EMPTY,
     )
 
-    final_empty = pa.table(
-        {
-            "query_id": pa.array([], type=pa.int64()),
-            "neighbor_id": pa.array([], type=pa.int64()),
-            "rank": pa.array([], type=pa.int64()),
-        }
-    )
+    final_empty = _TOPK_OUT_EMPTY
 
     def final_kernel(g: pa.Table) -> pa.Table:
-        """Merge partial top-k per query (vectorized multi-query)."""
+        """Merge partial top-k per query (vectorized multi-query).  No
+        (query, neighbor) dedupe is needed: each corpus vector lives in
+        exactly ONE list (corpus_rows argmax assignment), so a neighbor
+        meets a query in at most one probed list."""
         if "query_id" not in g.column_names or len(g) == 0:
             return final_empty
         q = g["query_id"].to_numpy(zero_copy_only=False)
         nid = g["neighbor_id"].to_numpy(zero_copy_only=False)
         cos = g["cos"].to_numpy(zero_copy_only=False)
         order = np.lexsort((nid, -cos, q))
-        qs = q[order]
-        # drop duplicate (query, neighbor) rows (a neighbor can reach a
-        # query via several probed lists)
-        dup = np.zeros(len(qs), dtype=bool)
-        if len(qs) > 1:
-            dup[1:] = (qs[1:] == qs[:-1]) & (nid[order][1:] == nid[order][:-1])
-        order = order[~dup]
         qs = q[order]
         starts, lens = segments(qs)
         seg_id = np.repeat(np.arange(len(starts)), lens)
@@ -295,13 +320,8 @@ def ivf_topk(
     )
 
 
-import functools
-
-
-@functools.lru_cache(maxsize=8)
-def _worker_obj(ref):
-    """Per-worker broadcast fetch (ray.put once, read per worker)."""
-    return ray.get(ref)
+# _worker_obj (per-worker broadcast fetch) is shared with the
+# embedding stage — one cache per worker process, one docstring
 
 
 _PAIRS_META_EMPTY = pa.table(

@@ -614,17 +614,6 @@ def verify_pairs(
     )
 
 
-def segments_obj(sorted_vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """segments() for object (string) arrays already in sorted order."""
-    n = len(sorted_vals)
-    if n == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    change = np.flatnonzero(sorted_vals[1:] != sorted_vals[:-1]) + 1
-    starts = np.concatenate([[0], change]).astype(np.int64)
-    lens = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
-    return starts, lens
-
-
 _FUSED_EMPTY = pa.table(
     {
         "u_id": pa.array([], type=pa.int64()),

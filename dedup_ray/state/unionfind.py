@@ -200,6 +200,15 @@ def _block_forest(
             np.array(batch[label_u_col].to_pylist(), dtype=object),
             np.array(batch[label_v_col].to_pylist(), dtype=object),
         )
+    u = batch[u_col]
+    if pa.types.is_integer(u.type):
+        # int64 edge ids (embedding/jaccard pairs): vectorized
+        # np.unique — the object-array factorization below is only for
+        # string nodes (output arrow types are identical either way)
+        return _forest_from_pairs(
+            batch[u_col].to_numpy(zero_copy_only=False),
+            batch[v_col].to_numpy(zero_copy_only=False),
+        )
     return _forest_from_pairs(
         np.array(batch[u_col].to_pylist(), dtype=object),
         np.array(batch[v_col].to_pylist(), dtype=object),
@@ -783,8 +792,18 @@ def components_dataset_label_prop(
         order = np.lexsort((slots, nodes))
         ns = nodes[order]
         starts, lens = _segs(ns)
+        # INVARIANT: exactly one comp row + one label row per node —
+        # both sides derive from the same edge-endpoint set.  Guard it
+        # loudly: a 1-row segment would otherwise silently read the
+        # NEXT segment's row as this node's label.
+        if not np.all(lens == 2):
+            bad = ns[starts[lens != 2]][:5]
+            raise AssertionError(
+                f"joinA: node segments without exactly 2 rows "
+                f"(comp+label); first offenders: {bad.tolist()}"
+            )
         # slot 0 = comp row (has root) first; slot 1 = label row second
-        second = np.minimum(starts + 1, len(ns) - 1)
+        second = starts + 1
         comp_rows_i = order[starts]
         lab_rows_i = order[second]
         return pa.table(
@@ -866,6 +885,7 @@ def components_dataset(
     method: str = "tree_reduce",
     num_partitions: int = 64,
     forest_node_budget: int = FOREST_NODE_BUDGET,
+    max_rounds: int = 64,
 ) -> ray.data.Dataset:
     """edges -> Dataset[(node, cluster_id)] — nothing on the driver.
     The 100-TB path: at web scale the dup-incident node set is NOT
@@ -886,6 +906,9 @@ def components_dataset(
     the pathological-dup-rate path).  Identical output either way
     (tests/test_properties.py pins agreement)."""
     if method == "label_prop":
+        # max_rounds bounds the propagation at component DIAMETER
+        # rounds; plumbed so a deeper-than-64-hop chain has a
+        # configuration path instead of a hard RuntimeError
         return components_dataset_label_prop(
             edges,
             u_col=u_col,
@@ -893,6 +916,7 @@ def components_dataset(
             label_u_col=label_u_col,
             label_v_col=label_v_col,
             num_partitions=num_partitions,
+            max_rounds=max_rounds,
         )
     if method != "tree_reduce":
         raise ValueError(f"unknown components method: {method!r}")
