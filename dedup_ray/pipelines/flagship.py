@@ -24,7 +24,6 @@ import ray
 import ray.data
 
 from dedup_ray.config import DEFAULT_CONFIG, DedupConfig
-from dedup_ray.core import default_pool_size
 from dedup_ray.sources.pages import documents_as_pages
 from dedup_ray.stages.exact import exact_members
 from dedup_ray.stages.hashing import add_content_sha256
@@ -320,7 +319,7 @@ def cluster_and_assign(
         "group_n",
     ]
     tall = (
-        members.select_columns([c for c in slim_cols if c])
+        members.select_columns(slim_cols)
         .map_batches(_member_tall, batch_format="pyarrow", zero_copy_batch=True)
         .union(cc.map_batches(_map_tall, batch_format="pyarrow", zero_copy_batch=True))
         .union(
@@ -400,7 +399,7 @@ def flagship_assignments_from_pages(
     # these same boundaries are Parquet stage outputs instead of
     # object-store pins — that is the 100-TB path; materialize() here
     # is the in-memory small-run equivalent.
-    members = exact_members(hashed).materialize()
+    members = exact_members(hashed, num_partitions=cfg.num_partitions).materialize()
     winners = members.map_batches(
         lambda t: t.filter(t["is_exact_winner"].combine_chunks()),
         batch_format="pyarrow",
@@ -412,7 +411,12 @@ def flagship_assignments_from_pages(
         from dedup_ray.stages.winnow import substring_edges
 
         edges = edges.union(substring_edges(winners, cfg))
-    return cluster_and_assign(members, edges, cfg)
+    # assume_uniform_priority derives from cfg exactly like the
+    # checkpointed entry: with a configured priority_col the canonical
+    # member is min-(priority, url), not min-url
+    return cluster_and_assign(
+        members, edges, cfg, assume_uniform_priority=cfg.uniform_priority
+    )
 
 
 def flagship_assignments(
@@ -460,7 +464,9 @@ def run_flagship_checkpointed(
             pages = pages_loader(input_path)
         else:
             pages = extract_text(read_pages_parquet(input_path))
-        return exact_members(add_content_sha256(pages))
+        return exact_members(
+            add_content_sha256(pages), num_partitions=cfg.num_partitions
+        )
 
     members, fp_members = run.run_stage("members", [input_fp], build_members)
 

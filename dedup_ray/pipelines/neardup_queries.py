@@ -26,7 +26,7 @@ from dedup_ray.stages.winnow import substring_edges
 
 def _winners(sf_dir: str) -> ray.data.Dataset:
     hashed = add_content_sha256(documents_as_pages(sf_dir))
-    members = exact_members(hashed)
+    members = exact_members(hashed, num_partitions=DEFAULT_CONFIG.num_partitions)
     return members.map_batches(
         lambda t: t.filter(t["is_exact_winner"].combine_chunks()),
         batch_format="pyarrow",
@@ -166,6 +166,21 @@ def ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     )
 
     winners = _winners(sf_dir).materialize()
+    return _jaccard_pairs_from_winners(winners)
+
+
+def _jaccard_pairs_from_winners(winners: ray.data.Dataset) -> ray.data.Dataset:
+    """Pair path over an ALREADY-materialized winners dataset, so a
+    caller that also needs the winners (jaccard_dedup's node rows)
+    runs the ingest + sha exchange once, not twice."""
+    from dedup_ray.stages.jaccard import exact_jaccard_edges
+    from dedup_ray.stages.lsh import (
+        _EMPTY_PAIRS,
+        dedupe_pairs,
+        fused_candidate_pairs,
+        lsh_bands,
+    )
+
     sigs = minhash_signatures_stage(winners, DEFAULT_CONFIG)
     fused = fused_candidate_pairs(lsh_bands(sigs, DEFAULT_CONFIG), DEFAULT_CONFIG)
     pairs = fused.map_batches(
@@ -194,8 +209,12 @@ def jaccard_dedup(sf_dir: str) -> ray.data.Dataset:
     from dedup_ray.core import hash_strings_u64, partitioned_kernel
     from dedup_ray.state.unionfind import components_dataset
 
-    comp = components_dataset(ngram_jaccard_pairs(sf_dir))
-    nodes = _winners(sf_dir).map_batches(
+    # ONE ingest: the same materialized winners feed both the pair
+    # path and the node rows (a fresh _winners call would re-run the
+    # read + sha256 + exact exchange a second time)
+    winners = _winners(sf_dir).materialize()
+    comp = components_dataset(_jaccard_pairs_from_winners(winners))
+    nodes = winners.map_batches(
         lambda t: pa.table(
             {
                 "node": t["url"],

@@ -22,8 +22,12 @@ the driver):
 
   winners ──fingerprint──▶ anchors (anchor_hash, doc_id, pos)  [tasks]
     anchor_hash kernel ──▶ candidate id pairs (u_id, v_id, pu, pv)
-        (star topology per bucket: shared-block buckets of n docs emit
-        n-1 edges, never O(n^2); connectivity via union-find)
+        (hybrid per bucket, like lsh.fused_candidate_pairs: ALL pairs
+        up to STAR_THRESHOLD docs — per-edge verification is not
+        transitive, so a star through a decoy center that shares only
+        the gram would kill real pairs — then a linear star above it;
+        an oversized bucket is a boilerplate gram, and a true long run
+        selects ~len/window fingerprints = that many more buckets)
     (u_id, v_id) kernel ──▶ at most MAX_ANCHOR_TRIES anchor pairs/pair
     union(text rows, pair member rows) + doc_id kernel ──▶ texts+urls
         attached to member rows (distributed semi-join: text rows whose
@@ -43,6 +47,7 @@ import ray.data
 
 from dedup_ray.config import DedupConfig
 from dedup_ray.core import numeric_key_u64, partitioned_kernel, schema_names, segments
+from dedup_ray.stages.lsh import STAR_THRESHOLD
 from dedup_ray.util import char_rolling_hashes, ensure_doc_ids, winnow_select
 
 MAX_ANCHOR_TRIES = 3
@@ -147,6 +152,23 @@ def anchor_candidate_pairs(
             return _EMPTY_PAIRS
         out_u, out_v, out_pu, out_pv = [], [], [], []
         for s, L in zip(starts[multi].tolist(), lens[multi].tolist()):
+            if L <= STAR_THRESHOLD:
+                # ALL pairs: substring verification is per-edge and NOT
+                # transitive, so a pure star through the min-id doc is
+                # lossy — a "decoy" center that shares only the GRAM
+                # (not a >= substring_min_len run) would kill every
+                # real pair routed through it.  Same hybrid as
+                # lsh.fused_candidate_pairs.
+                iu, jv = np.triu_indices(L, k=1)
+                out_u.append(is_f[s + iu])
+                out_v.append(is_f[s + jv])
+                out_pu.append(ps_f[s + iu])
+                out_pv.append(ps_f[s + jv])
+                continue
+            # oversized bucket = a boilerplate gram: keep the linear
+            # star (candidate-count bound); a long TRUE shared run
+            # selects ~len/winnow_window fingerprints, so it gets
+            # len/w independent buckets as further chances
             out_u.append(np.full(L - 1, is_f[s], dtype=np.int64))
             out_v.append(is_f[s + 1 : s + L])
             out_pu.append(np.full(L - 1, ps_f[s], dtype=np.int64))

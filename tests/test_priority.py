@@ -70,3 +70,33 @@ def test_cluster_canonical_nonuniform_priority():
     assert out.loc["b", "is_canonical"]
     assert not out.loc["a", "is_canonical"]
     assert out.loc["c", "is_canonical"]
+
+
+def test_entrypoint_derives_priority_from_cfg(ray_session):
+    """flagship_assignments_from_pages must derive canonical selection
+    from cfg.uniform_priority (it hard-coded the uniform default,
+    contradicting config.py's promise that priority_col changes winner
+    selection in members AND assignments)."""
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.pipelines.flagship import flagship_assignments_from_pages
+
+    base = " ".join(f"tok{j}" for j in range(300))
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["https://a/", "https://b/"], pa.string()),
+                "text": pa.array([base, base.replace("tok5", "tweak")], pa.string()),
+                "lang": pa.array(["en", "en"], pa.string()),
+                # near-dup pair; min-url 'a' has the WORSE priority
+                "priority": pa.array([2, 0], pa.int64()),
+            }
+        )
+    )
+    out = flagship_assignments_from_pages(
+        pages, DedupConfig(priority_col="priority")
+    ).to_pandas()
+    assert out["cluster_id"].nunique() == 1
+    assert out[out["is_canonical"]]["url"].tolist() == ["https://b/"]

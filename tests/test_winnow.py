@@ -147,3 +147,60 @@ def test_decoy_repetition_needs_exact_fallback():
         # extension alone misses the pair — the decoy anchors absorb
         # every try.  This miss is exactly what the fallback closes.
         pass
+
+
+def test_decoy_center_does_not_kill_real_pair(ray_session):
+    """A bucket whose min-id doc shares only the GRAM (not a full
+    >= substring_min_len run) must not suppress the real pair: the
+    pure star routed every edge through the decoy and per-edge
+    verification dropped them all.  The hybrid (all-pairs up to
+    STAR_THRESHOLD) emits X-Y directly."""
+    import numpy as np
+
+    import ray.data
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.stages.winnow import substring_edges
+    from dedup_ray.util import hash_url
+
+    from dedup_ray.util import char_rolling_hashes, winnow_select
+
+    cfg = DedupConfig()
+    rng = np.random.Generator(np.random.PCG64(8))
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    blk = "".join(rng.choice(list(alpha), 300))  # shared 300-char block
+    filler = lambda seed, n: "".join(
+        np.random.Generator(np.random.PCG64(seed)).choice(list(alpha), n))
+    x_text = filler(3, 400) + blk + filler(4, 400)
+    y_text = filler(5, 400) + blk + filler(6, 400)
+
+    def fps(text):
+        hs = char_rolling_hashes(text, cfg.winnow_gram)
+        sel = winnow_select(hs, cfg.winnow_window)
+        return {int(h): int(p) for h, p in zip(hs[sel], sel)}
+
+    fx, fy = fps(x_text), fps(y_text)
+    shared = set(fx) & set(fy)
+    assert shared, "fixture: X and Y must share selected fingerprints"
+    # the decoy embeds EVERY shared fingerprint's 64-char gram (with
+    # filler between, so no >= substring_min_len run is shared) — it
+    # collides in every shared bucket and, with the min doc_id, the
+    # OLD pure star centered every edge on it and missed X-Y entirely
+    grams = [x_text[fx[h]:fx[h] + cfg.winnow_gram] for h in sorted(shared)]
+    decoy_text = filler(1, 300) + filler(7, 100).join(grams) + filler(2, 300)
+    dfp = set(fps(decoy_text))
+    assert dfp & shared, "fixture: decoy must collide in a shared bucket"
+    urls = ["https://decoy10/", "https://xdoc/", "https://ydoc/"]
+    # decoy must be the min int64 doc_id so the OLD star would center on it
+    ids = [np.int64(np.uint64(hash_url(u))) for u in urls]
+    assert ids[0] == min(ids)
+    t = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "text": pa.array([decoy_text, x_text, y_text], pa.string()),
+        "priority": pa.array([0, 0, 0], pa.int64()),
+    })
+    edges = substring_edges(ray.data.from_arrow(t), cfg).to_pandas()
+    pairs = set(map(tuple, edges[["u", "v"]].itertuples(index=False)))
+    assert ("https://xdoc/", "https://ydoc/") in pairs or (
+        "https://ydoc/", "https://xdoc/") in pairs, pairs
+    # and the decoy itself verified against nobody (shares < min_len)
+    assert not any("decoy" in u or "decoy" in v for u, v in pairs), pairs
