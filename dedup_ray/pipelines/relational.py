@@ -1730,8 +1730,16 @@ def part_revenue_by_brand(
             num_partitions=_DEFAULT_NUM_PARTITIONS,
         )
 
-    agg = joined.groupby("p_brand").aggregate(
-        Count(alias_name="n_items"), Sum("rev", alias_name="rev_raw")
+    # repartition(1) before the finalize: Ray's hash aggregate emits
+    # SCHEMA-LESS blocks for empty partitions (CLAUDE.md trap) which
+    # bypass map_batches and trip the executor's "different schema"
+    # warning downstream; consolidating the tiny per-brand aggregate
+    # (<= |brands| rows) into one block restores a single typed schema
+    # — same shape orders_rollup uses for its finalize.
+    agg = (
+        joined.groupby("p_brand")
+        .aggregate(Count(alias_name="n_items"), Sum("rev", alias_name="rev_raw"))
+        .repartition(1)
     )
 
     def finalize(t: pa.Table) -> pa.Table:
@@ -1751,7 +1759,9 @@ def part_revenue_by_brand(
             }
         )
 
-    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    return agg.map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
 
 
 PART_REVENUE_BY_BRAND_SQL = """
