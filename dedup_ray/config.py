@@ -87,12 +87,15 @@ class DedupConfig:
     #: 2048 keeps the minhash/simhash per-batch temporaries (~75MB)
     #: cache-friendly; 4096 measurably regresses
     batch_size: int = field(default=2048, compare=False)
-    #: connected-components strategy: "tree_reduce" (default; fastest
-    #: while the dup-incident forest fits one merge actor) or
-    #: "label_prop" (hash-min label propagation — no single-task
-    #: forest; for pathological dup rates).  Identical output either
-    #: way, so it is an execution hint, not semantics.
-    cc_method: str = field(default="tree_reduce", compare=False)
+    #: connected-components strategy: "auto" (default; tree-reduce —
+    #: fastest while the dup-incident forest fits one merge actor —
+    #: degrading to label propagation automatically when the merged
+    #: forest would cross FOREST_NODE_BUDGET, before any single actor
+    #: concentrates it), "tree_reduce" (forced; warn-and-continue past
+    #: the budget) or "label_prop" (forced hash-min label propagation —
+    #: no single-task forest; for pathological dup rates).  Identical
+    #: output every way, so it is an execution hint, not semantics.
+    cc_method: str = field(default="auto", compare=False)
 
     _SEMANTIC_EXCLUDE = (
         "num_partitions",
@@ -116,12 +119,12 @@ class DedupConfig:
                 f"(got margin={self.verify_margin}, tau={self.jaccard_tau}); "
                 "a non-positive verify threshold would pass every candidate"
             )
-        if self.cc_method not in ("tree_reduce", "label_prop"):
+        if self.cc_method not in ("auto", "tree_reduce", "label_prop"):
             # catch the typo at construction, not hours later in the
             # final clustering stage of a long job
             raise ValueError(
-                f"cc_method must be 'tree_reduce' or 'label_prop', "
-                f"got {self.cc_method!r}"
+                f"cc_method must be 'auto', 'tree_reduce' or "
+                f"'label_prop', got {self.cc_method!r}"
             )
 
     @property

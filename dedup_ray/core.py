@@ -305,6 +305,16 @@ def exchange_join_unique_dim(
         dkeys = key[dim_idx]
         dorder = np.argsort(dkeys, kind="stable")
         dkeys_s = dkeys[dorder]
+        if len(dkeys_s) > 1 and not np.all(dkeys_s[1:] > dkeys_s[:-1]):
+            # UNIQUE-key contract (mirrors joinA_kernel's loud guard):
+            # a dup-keyed dimension would silently join each fact row
+            # to one arbitrary dim row — fail with the offending keys
+            dup = np.unique(dkeys_s[1:][dkeys_s[1:] == dkeys_s[:-1]])
+            raise ValueError(
+                "exchange_join_unique_dim: dimension key "
+                f"{dim_key!r} is not unique — duplicate keys "
+                f"{dup[:10].tolist()}"
+            )
         fact_idx = np.flatnonzero(~is_dim)
         fkeys = key[fact_idx]
         if len(dkeys_s):

@@ -130,13 +130,19 @@ def simhash_hamming_pairs(
         empty_result=_EMPTY,
     )
 
-    # dedupe across blocks (a close pair can agree on several blocks)
+    # dedupe across blocks (a close pair can agree on several blocks).
+    # Pair keys are built with one Arrow binary_join_element_wise call
+    # (u + "\x00" + v — identical bytes to the former per-row f-string
+    # zip, so partition routing and dedup order are bit-identical);
+    # only the blake2b per key remains per-row (hashlib has no batch
+    # API).
+    def _pair_combined(t: pa.Table) -> pa.ChunkedArray:
+        import pyarrow.compute as pc
+
+        return pc.binary_join_element_wise(t["u"], t["v"], "\x00")
+
     def uniq(g: pa.Table) -> pa.Table:
-        us = np.array(g["u"].to_pylist(), dtype=object)
-        vs = np.array(g["v"].to_pylist(), dtype=object)
-        combined = np.array(
-            [f"{a}\x00{b}" for a, b in zip(us.tolist(), vs.tolist())], dtype=object
-        )
+        combined = _pair_combined(g).to_numpy(zero_copy_only=False)
         _, idx = np.unique(combined, return_index=True)
         return g.take(pa.array(np.sort(idx)))
 
@@ -144,9 +150,7 @@ def simhash_hamming_pairs(
 
     return partitioned_kernel(
         pairs,
-        lambda t: hash_strings_u64(
-            [f"{a}\x00{b}" for a, b in zip(t["u"].to_pylist(), t["v"].to_pylist())]
-        ),
+        lambda t: hash_strings_u64(_pair_combined(t).to_pylist()),
         uniq,
         num_partitions=cfg.num_partitions,
         empty_result=_EMPTY,

@@ -378,6 +378,21 @@ def _finalize_components(final: pa.Table) -> pa.Table:
 FOREST_NODE_BUDGET = 50_000_000
 
 
+class ForestBudgetExceeded(RuntimeError):
+    """The tree-reduce's merged forest would exceed the single-actor
+    node budget — raised (pre-merge) only on the ``method="auto"``
+    path, where components_dataset catches it and degrades to
+    label propagation instead of concentrating the forest."""
+
+    def __init__(self, nodes: int, budget: int) -> None:
+        super().__init__(
+            f"union-find merged forest would hold ~{nodes} dup-incident "
+            f"nodes (budget {budget})"
+        )
+        self.nodes = nodes
+        self.budget = budget
+
+
 def _components_ref(
     edges: ray.data.Dataset,
     *,
@@ -386,7 +401,8 @@ def _components_ref(
     v_col: str = "v",
     label_u_col: str | None = None,
     label_v_col: str | None = None,
-    forest_node_budget: int = FOREST_NODE_BUDGET,
+    forest_node_budget: int | None = None,
+    on_budget: str = "warn",
 ):
     """Shared tree-reduce; returns an ObjectRef of the finalized
     (node, cluster_id) table, or None when there are no edge blocks.
@@ -396,7 +412,19 @@ def _components_ref(
     merge actors (parallel partial reduce with persistent DSU state),
     then the K actor forests tree-merge pairwise (log2 K actor-to-actor
     handoffs through the object store); the final factorize + min-label
-    runs in ONE remote task — never on the driver."""
+    runs in ONE remote task — never on the driver.
+
+    ``on_budget="raise"``: BEFORE any pairwise merge concentrates
+    state, bound the merged forest by the sum of the K actors'
+    post-leaf-round node counts (an upper bound — cross-actor node
+    overlap only shrinks the true merge) and raise
+    ForestBudgetExceeded past the budget, so no single actor ever
+    holds an over-budget forest.  ``"warn"`` keeps the legacy
+    behavior: merge anyway and log a warning naming the fallback.
+    ``forest_node_budget=None`` reads the module constant at call
+    time (monkeypatchable in tests)."""
+    if forest_node_budget is None:
+        forest_node_budget = FOREST_NODE_BUDGET
     refs = [
         r
         for r in edges.map_batches(
@@ -420,6 +448,18 @@ def _components_ref(
     sizes = ray.get([actors[i % K].absorb.remote(r) for i, r in enumerate(refs)])
     alive = actors
     forest_nodes = max(sizes, default=0)
+    if on_budget == "raise":
+        # per-actor FINAL count = the last absorb return per actor
+        # (round-robin assignment; actor tasks from one submitter run
+        # in submission order, and absorb's return is monotone)
+        per_actor_final: dict[int, int] = {}
+        for i, s in enumerate(sizes):
+            per_actor_final[i % K] = s
+        bound = sum(per_actor_final.values())
+        if bound > forest_node_budget:
+            for a in actors:
+                ray.kill(a)
+            raise ForestBudgetExceeded(bound, forest_node_budget)
     while len(alive) > 1:
         futs = []
         nxt = []
@@ -508,10 +548,14 @@ def components_dataset_label_prop(
     except Exception:
         names = []
     if u_col not in names:
+        # match the tree_reduce ref-is-None empty contracts: labeled
+        # path documents node:int64 (ADVICE r4 — a string-typed node
+        # here type-mismatched direct callers on schema-less input)
+        node_t = pa.int64() if label_u_col is not None else pa.string()
         return ray.data.from_arrow(
             pa.table(
                 {
-                    "node": pa.array([], type=pa.string()),
+                    "node": pa.array([], type=node_t),
                     "cluster_id": pa.array([], type=pa.string()),
                 }
             )
@@ -882,9 +926,9 @@ def components_dataset(
     v_col: str = "v",
     label_u_col: str | None = None,
     label_v_col: str | None = None,
-    method: str = "tree_reduce",
+    method: str = "auto",
     num_partitions: int = 64,
-    forest_node_budget: int = FOREST_NODE_BUDGET,
+    forest_node_budget: int | None = None,
     max_rounds: int = 64,
 ) -> ray.data.Dataset:
     """edges -> Dataset[(node, cluster_id)] — nothing on the driver.
@@ -899,12 +943,50 @@ def components_dataset(
     cluster_id:min-url string) — ready to key a hash exchange without
     re-hashing strings per row.
 
-    ``method``: "tree_reduce" (default — fastest while the dup-incident
-    forest fits one merge actor; a warning fires past
-    ``forest_node_budget``) or "label_prop" (hash-min label
+    ``method``: "auto" (default — tree-reduce, but if the post-leaf-
+    round node bound crosses ``forest_node_budget`` it degrades to
+    label propagation BEFORE any merge concentrates an over-budget
+    forest in one actor), "tree_reduce" (forced; warn-and-continue
+    past the budget), or "label_prop" (forced hash-min label
     propagation — every round a hash exchange, no single-task forest;
-    the pathological-dup-rate path).  Identical output either way
-    (tests/test_properties.py pins agreement)."""
+    the pathological-dup-rate path).  Identical output every way
+    (tests/test_label_prop.py pins agreement)."""
+    if method == "auto":
+        try:
+            return components_dataset(
+                edges,
+                num_merge_actors=num_merge_actors,
+                u_col=u_col,
+                v_col=v_col,
+                label_u_col=label_u_col,
+                label_v_col=label_v_col,
+                method="_tree_reduce_strict",
+                num_partitions=num_partitions,
+                forest_node_budget=forest_node_budget,
+                max_rounds=max_rounds,
+            )
+        except ForestBudgetExceeded as e:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "union-find tree-reduce aborted pre-merge (%s); "
+                "auto-engaging the label-propagation fallback "
+                "(every round a hash exchange, no single-task forest). "
+                "Set cc_method='tree_reduce' to force the merge anyway.",
+                e,
+            )
+            # the aborted attempt already materialized `edges`, so the
+            # label-prop re-read costs a re-execution of the (lazy)
+            # edge pipeline — the acceptable price of the degraded path
+            return components_dataset_label_prop(
+                edges,
+                u_col=u_col,
+                v_col=v_col,
+                label_u_col=label_u_col,
+                label_v_col=label_v_col,
+                num_partitions=num_partitions,
+                max_rounds=max_rounds,
+            )
     if method == "label_prop":
         # max_rounds bounds the propagation at component DIAMETER
         # rounds; plumbed so a deeper-than-64-hop chain has a
@@ -918,7 +1000,7 @@ def components_dataset(
             num_partitions=num_partitions,
             max_rounds=max_rounds,
         )
-    if method != "tree_reduce":
+    if method not in ("tree_reduce", "_tree_reduce_strict"):
         raise ValueError(f"unknown components method: {method!r}")
     ref = _components_ref(
         edges,
@@ -928,6 +1010,7 @@ def components_dataset(
         label_u_col=label_u_col,
         label_v_col=label_v_col,
         forest_node_budget=forest_node_budget,
+        on_budget="raise" if method == "_tree_reduce_strict" else "warn",
     )
     if ref is None:
         if label_u_col is not None:

@@ -129,10 +129,82 @@ def test_flagship_label_prop_matches_default_on_dup_heavy_corpus(ray_session):
 
 
 def test_forest_budget_warning(ray_session, caplog):
+    """Forced tree_reduce past the budget keeps the legacy
+    warn-and-continue behavior."""
     edges = ray.data.from_arrow(_edges_table(CASES["star"]))
     with caplog.at_level(logging.WARNING, logger="dedup_ray.state.unionfind"):
-        components_dataset(edges, forest_node_budget=3).materialize()
+        components_dataset(
+            edges, method="tree_reduce", forest_node_budget=3
+        ).materialize()
     assert any("label_prop" in r.message for r in caplog.records)
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_auto_engages_label_prop_past_budget(name, ray_session, caplog):
+    """method='auto' (the default) aborts the tree-reduce pre-merge
+    when the forest bound crosses the budget and degrades to label
+    propagation — with NO flag set, and bit-identical output."""
+    edges = ray.data.from_arrow(_edges_table(CASES[name]))
+    want = _as_sorted_pairs(components_dataset(edges, method="tree_reduce"))
+    with caplog.at_level(logging.WARNING, logger="dedup_ray.state.unionfind"):
+        got = _as_sorted_pairs(
+            components_dataset(edges, forest_node_budget=1, num_partitions=4)
+        )
+    assert got == want
+    assert any("auto-engaging" in r.message for r in caplog.records)
+
+
+def test_auto_under_budget_stays_tree_reduce(ray_session, caplog):
+    """Under the budget, auto takes the tree-reduce path silently."""
+    edges = ray.data.from_arrow(_edges_table(CASES["two_components"]))
+    with caplog.at_level(logging.WARNING, logger="dedup_ray.state.unionfind"):
+        got = _as_sorted_pairs(components_dataset(edges))
+    assert got == _as_sorted_pairs(
+        components_dataset(edges, method="tree_reduce")
+    )
+    assert not any("auto-engaging" in r.message for r in caplog.records)
+
+
+def test_flagship_auto_fallback_bit_identical(ray_session, caplog, monkeypatch):
+    """Full flagship over a crafted over-budget corpus (tiny module
+    budget, DEFAULT config — no cc_method flag): the fallback engages
+    and the assignments are bit-identical to forced tree_reduce."""
+    import pandas as pd
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.pipelines.flagship import flagship_assignments_from_pages
+    from dedup_ray.state import unionfind
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    words = [f"w{i}" for i in range(200)]
+    template = " ".join(rng.choice(words, 100).tolist())
+    rows = []
+    for i in range(40):
+        base = template.split()
+        base[int(rng.integers(0, len(base)))] = f"jit{i}"
+        rows.append((f"https://a.test/{i:03d}", " ".join(base)))
+    pages = pa.table(
+        {
+            "url": pa.array([u for u, _ in rows], pa.string()),
+            "text": pa.array([t for _, t in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "priority": pa.array([0] * len(rows), pa.int64()),
+        }
+    )
+
+    def run():
+        out = flagship_assignments_from_pages(
+            ray.data.from_arrow(pages), DedupConfig()
+        ).to_pandas()
+        cols = sorted(out.columns)
+        return out[cols].sort_values(by=cols, ignore_index=True)
+
+    want = run()  # default budget: tree-reduce path
+    monkeypatch.setattr(unionfind, "FOREST_NODE_BUDGET", 5)
+    with caplog.at_level(logging.WARNING, logger="dedup_ray.state.unionfind"):
+        got = run()
+    assert any("auto-engaging" in r.message for r in caplog.records)
+    pd.testing.assert_frame_equal(got, want)
 
 
 def test_label_prop_empty_edges(ray_session):
