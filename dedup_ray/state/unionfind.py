@@ -733,6 +733,11 @@ def components_dataset_label_prop(
         n_changed = red.sum("changed") or 0
         L = red.drop_columns(["changed"]).materialize()
         if n_changed == 0:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "label propagation converged in %d rounds", _round + 1
+            )
             break
     else:
         raise RuntimeError(
