@@ -9,12 +9,16 @@ Formats implemented from their public specifications:
     reader).
   - BMP (BITMAPINFOHEADER, 24-bit uncompressed bottom-up).
   - WAV PCM via the stdlib ``wave`` module (16-bit).
-  - JPEG (ITU-T T.81 baseline sequential DCT): 8-bit grayscale and
-    YCbCr with 1x1/2x1/1x2/2x2 sampling factors, restart markers, DC
-    prediction + AC run-length Huffman decoding, vectorized dequant +
-    IDCT.  Encoder writes baseline 4:4:4 or 4:2:0 with the Annex K
-    quantization/Huffman tables (quality-scaled, libjpeg formula).
-    Progressive (SOF2), arithmetic coding, and 12-bit raise ValueError.
+  - JPEG (ITU-T T.81): 8-bit grayscale and YCbCr with 1x1/2x1/1x2/2x2
+    sampling factors, restart markers, DC prediction + AC run-length
+    Huffman decoding, vectorized dequant + IDCT — baseline sequential
+    (SOF0/1) AND progressive (SOF2, Annex G: spectral selection +
+    successive approximation, EOB runs, AC refinement correction
+    bits).  Encoder writes baseline 4:4:4 or 4:2:0 with the Annex K
+    quantization/Huffman tables (quality-scaled, libjpeg formula), or
+    a progressive scan script (``progressive=True``) whose decode is
+    bit-identical to the sequential file (pinned by tests).
+    Arithmetic coding, 12-bit, and lossless modes raise ValueError.
 
 These are deliberately small, deterministic implementations for the
 decode/feature stages and their tests — not general-purpose codec
@@ -278,6 +282,109 @@ def _build_huff(counts: bytes, symbols: bytes) -> dict:
     return table
 
 
+def _parse_dqt(body: bytes, qt: dict) -> None:
+    """DQT segment -> zigzag-ordered int32 tables keyed by id."""
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 15
+        i += 1
+        if pq == 0:
+            qt[tq] = np.frombuffer(body[i : i + 64], dtype=np.uint8).astype(
+                np.int32
+            )
+            i += 64
+        else:
+            qt[tq] = np.frombuffer(body[i : i + 128], dtype=">u2").astype(
+                np.int32
+            )
+            i += 128
+
+
+def _parse_dht(body: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 15
+        i += 1
+        counts = body[i : i + 16]
+        i += 16
+        nsym = sum(counts)
+        table = _build_huff(counts, body[i : i + nsym])
+        i += nsym
+        (huff_dc if tc == 0 else huff_ac)[th] = table
+
+
+def _unstuff_entropy(data: bytes, p: int) -> tuple[list[bytes], int]:
+    """Entropy-coded bytes starting at ``p``: unstuff 0xFF00, split at
+    RSTn; returns (segments, position of the terminating marker)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    while p < len(data):
+        b = data[p]
+        if b == 0xFF:
+            m = data[p + 1] if p + 1 < len(data) else 0xD9
+            if m == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= m <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        p += 1
+    segments.append(bytes(cur))
+    return segments, p
+
+
+def _jpeg_reconstruct(
+    comps: list,
+    blocks: dict,
+    qt: dict,
+    width: int,
+    height: int,
+    hmax: int,
+    vmax: int,
+) -> np.ndarray:
+    """Zigzag coefficient grids -> pixels: dequantize, de-zigzag,
+    batched IDCT, chroma upsample, YCbCr->RGB (shared by the baseline
+    and progressive decoders)."""
+    dct_m = _dct_matrix()
+    planes = []
+    for c in comps:
+        bz = blocks[c["id"]].astype(np.float64) * qt[c["tq"]][None, None, :]
+        bh, bw = bz.shape[:2]
+        nat = np.zeros_like(bz)
+        nat[:, :, _ZIGZAG] = bz
+        spatial = (
+            np.einsum("ij,bjk,kl->bil", dct_m.T, nat.reshape(-1, 8, 8), dct_m)
+            + 128.0
+        )
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        plane = np.repeat(plane, vmax // c["v"], axis=0)
+        plane = np.repeat(plane, hmax // c["h"], axis=1)
+        planes.append(plane[:height, :width])
+
+    if len(planes) == 1:
+        return (
+            np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+        )
+    if len(planes) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(planes)}")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG bytes -> (height, width, channels) uint8 array
     (channels = 1 grayscale, 3 RGB via BT.601 YCbCr conversion)."""
@@ -299,20 +406,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         body = data[pos + 4 : pos + 2 + length]
         seg_end = pos + 2 + length
         if marker == 0xDB:  # DQT — tables stored in zigzag order
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 15
-                i += 1
-                if pq == 0:
-                    qt[tq] = np.frombuffer(
-                        body[i : i + 64], dtype=np.uint8
-                    ).astype(np.int32)
-                    i += 64
-                else:
-                    qt[tq] = np.frombuffer(
-                        body[i : i + 128], dtype=">u2"
-                    ).astype(np.int32)
-                    i += 128
+            _parse_dqt(body, qt)
         elif marker in (0xC0, 0xC1):  # SOF0/1 — baseline/extended sequential
             prec, height, width, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
@@ -324,19 +418,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq_id}
                 )
             frame = (width, height, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("non-baseline JPEG (progressive/lossless) unsupported")
+        elif marker == 0xC2:  # SOF2 — progressive DCT (T.81 Annex G)
+            return _decode_jpeg_progressive(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("non-DCT JPEG (lossless/arithmetic) unsupported")
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 15
-                i += 1
-                counts = body[i : i + 16]
-                i += 16
-                nsym = sum(counts)
-                table = _build_huff(counts, body[i : i + nsym])
-                i += nsym
-                (huff_dc if tc == 0 else huff_ac)[th] = table
+            _parse_dht(body, huff_dc, huff_ac)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — single interleaved baseline scan
@@ -356,26 +443,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     scan_tables = {cs: (td, ta) for cs, td, ta in scan_comps}
 
     # Entropy-coded data: unstuff 0xFF00, split at restart markers.
-    segments: list[bytes] = []
-    cur = bytearray()
-    p = scan_start
-    while p < len(data):
-        b = data[p]
-        if b == 0xFF:
-            m = data[p + 1] if p + 1 < len(data) else 0xD9
-            if m == 0x00:
-                cur.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= m <= 0xD7:  # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                p += 2
-                continue
-            break  # EOI or next marker
-        cur.append(b)
-        p += 1
-    segments.append(bytes(cur))
+    segments, _ = _unstuff_entropy(data, scan_start)
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -428,39 +496,262 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             mcu_index += 1
 
     # Dequantize (tables are zigzag-ordered), de-zigzag, batched IDCT.
-    dct_m = _dct_matrix()
-    planes = []
-    for c in comps:
-        bz = blocks[c["id"]].astype(np.float64) * qt[c["tq"]][None, None, :]
-        bh, bw = bz.shape[:2]
-        nat = np.zeros_like(bz)
-        nat[:, :, _ZIGZAG] = bz
-        spatial = (
-            np.einsum("ij,bjk,kl->bil", dct_m.T, nat.reshape(-1, 8, 8), dct_m)
-            + 128.0
-        )
-        plane = (
-            spatial.reshape(bh, bw, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw * 8)
-        )
-        plane = np.repeat(plane, vmax // c["v"], axis=0)
-        plane = np.repeat(plane, hmax // c["h"], axis=1)
-        planes.append(plane[:height, :width])
+    return _jpeg_reconstruct(comps, blocks, qt, width, height, hmax, vmax)
 
-    if len(planes) == 1:
-        return (
-            np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
-        )
-    if len(planes) != 3:
-        raise ValueError(f"unsupported JPEG component count {len(planes)}")
-    y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
-        np.uint8
-    )
+
+# --------------------------------------------- progressive JPEG (Annex G)
+#
+# Progressive mode transmits the SAME quantized coefficients as
+# sequential mode, reordered: spectral selection (each scan carries one
+# zigzag band Ss..Se of one component, or the DC band of several) and
+# successive approximation (first scan sends coefficients at reduced
+# precision >> Al, later scans refine one bit at a time, Ah -> Al).
+# Block storage stays zigzag-ordered, so scans index coefficients
+# directly; reconstruction is the shared _jpeg_reconstruct.
+
+
+def _ac_first_block(
+    reader: _BitReader, act: dict, coefs: np.ndarray,
+    ss: int, se: int, al: int, eobrun: int,
+) -> int:
+    """Decode one block of an AC FIRST scan (Ah == 0, T.81 G.2 /
+    libjpeg decode_mcu_AC_first); returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # EOBn: run of (1<<r)+bits blocks,
+            if r:                  # current block counts as one
+                eobrun += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("progressive JPEG AC coefficient overflow")
+        coefs[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(
+    reader: _BitReader, act: dict, coefs: np.ndarray,
+    ss: int, se: int, al: int, eobrun: int,
+) -> int:
+    """Decode one block of an AC REFINEMENT scan (Ah == Al+1, T.81
+    G.2.2 / libjpeg decode_mcu_AC_refine): newly nonzero coefficients
+    arrive as (run, 1) symbols + a sign bit; every already-nonzero
+    coefficient passed on the way appends one correction bit."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, act)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid progressive AC refinement size")
+                newval = p1 if reader.read_bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.receive(r)
+                break
+            # advance over r zero-HISTORY coefficients, emitting a
+            # correction bit for every nonzero-history one passed
+            while k <= se:
+                c = int(coefs[k])
+                if c != 0:
+                    if reader.read_bit() and (c & p1) == 0:
+                        coefs[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coefs[k] = newval
+            k += 1
+    if eobrun > 0:
+        # inside an EOB run: the band's remaining nonzero-history
+        # coefficients still receive correction bits
+        while k <= se:
+            c = int(coefs[k])
+            if c != 0:
+                if reader.read_bit() and (c & p1) == 0:
+                    coefs[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
+    """Progressive (SOF2) JPEG bytes -> pixel array; same output
+    contract as decode_jpeg (a correct progressive stream reconstructs
+    the identical quantized coefficients, so pixels are bit-identical
+    to the sequential encoding of the same image — pinned by tests)."""
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    blocks: dict[int, np.ndarray] = {}
+    hmax = vmax = mcux = mcuy = 0
+    pos = 2
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # parameterless
+            pos += 2
+            continue
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + length]
+        seg_end = pos + 2 + length
+        if marker == 0xDB:
+            _parse_dqt(body, qt)
+        elif marker == 0xC4:
+            _parse_dht(body, huff_dc, huff_ac)
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xC2:
+            prec, height, width, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq_id = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq_id}
+                )
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            for c in comps:
+                if c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4):
+                    raise ValueError("unsupported JPEG sampling factors")
+                if hmax % c["h"] or vmax % c["v"]:
+                    raise ValueError("non-integer JPEG chroma upsampling ratio")
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            blocks = {
+                c["id"]: np.zeros(
+                    (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+                )
+                for c in comps
+            }
+            frame = (width, height, comps)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("mixed/unsupported JPEG frame type")
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("progressive JPEG scan before SOF2")
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * si], body[2 + 2 * si] >> 4, body[2 + 2 * si] & 15)
+                for si in range(ns)
+            ]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+            segments, pos = _unstuff_entropy(data, seg_end)
+            _progressive_scan(
+                scan_comps, ss, se, ah, al, frame, blocks,
+                huff_dc, huff_ac, segments, restart_interval,
+                hmax, vmax, mcux, mcuy,
+            )
+            continue
+        pos = seg_end  # APPn / COM / others skipped
+    if frame is None:
+        raise ValueError("truncated progressive JPEG (no SOF2)")
+    width, height, comps = frame
+    return _jpeg_reconstruct(comps, blocks, qt, width, height, hmax, vmax)
+
+
+def _progressive_scan(
+    scan_comps, ss, se, ah, al, frame, blocks,
+    huff_dc, huff_ac, segments, restart_interval, hmax, vmax, mcux, mcuy,
+) -> None:
+    """Apply one progressive scan's coefficient updates in place."""
+    width, height, comps = frame
+    comp_by_id = {c["id"]: c for c in comps}
+    seg_iter = iter(segments)
+    reader = _BitReader(next(seg_iter))
+    pred = {cid: 0 for cid, _, _ in scan_comps}
+    eobrun = 0
+
+    def restart():
+        nonlocal reader, eobrun
+        reader = _BitReader(next(seg_iter))
+        eobrun = 0
+        for cid in pred:
+            pred[cid] = 0
+
+    if ss == 0:  # DC scan — interleaved (Ns > 1) or single-component
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se == 0")
+        if len(scan_comps) > 1:
+            ri = restart_interval or (mcux * mcuy)
+            n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if n and n % ri == 0:
+                        restart()
+                    for cid, td, _ta in scan_comps:
+                        c = comp_by_id[cid]
+                        grid = blocks[cid]
+                        for v in range(c["v"]):
+                            for h in range(c["h"]):
+                                coefs = grid[my * c["v"] + v, mx * c["h"] + h]
+                                if ah == 0:
+                                    s = _huff_decode(reader, huff_dc[td])
+                                    pred[cid] += _extend(reader.receive(s), s)
+                                    coefs[0] = pred[cid] << al
+                                elif reader.read_bit():
+                                    coefs[0] = int(coefs[0]) | (1 << al)
+                    n += 1
+            return
+    elif len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+
+    # single-component scan: raster over the COMPONENT's own block
+    # grid (ceil of its sample dims / 8), not the MCU-padded grid
+    cid, td, ta = scan_comps[0]
+    c = comp_by_id[cid]
+    comp_cols = -(-(width * c["h"]) // hmax)
+    comp_rows = -(-(height * c["v"]) // vmax)
+    wb = -(-comp_cols // 8)
+    hb = -(-comp_rows // 8)
+    grid = blocks[cid]
+    ri = restart_interval or (wb * hb)
+    n = 0
+    for by in range(hb):
+        for bx in range(wb):
+            if n and n % ri == 0:
+                restart()
+            coefs = grid[by, bx]
+            if ss == 0:
+                if ah == 0:
+                    s = _huff_decode(reader, huff_dc[td])
+                    pred[cid] += _extend(reader.receive(s), s)
+                    coefs[0] = pred[cid] << al
+                elif reader.read_bit():
+                    coefs[0] = int(coefs[0]) | (1 << al)
+            elif ah == 0:
+                eobrun = _ac_first_block(
+                    reader, huff_ac[ta], coefs, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _ac_refine_block(
+                    reader, huff_ac[ta], coefs, ss, se, al, eobrun
+                )
+            n += 1
 
 
 # Annex K (T.81) tables, natural (row-major) order for the quant tables.
@@ -636,18 +927,134 @@ def _emit_block(
     return dc
 
 
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform (T.81 G.1.2.2): MAGNITUDE shift — unlike the
+    DC arithmetic shift, |v| >> al with the sign re-applied."""
+    m = (v if v >= 0 else -v) >> al
+    return m if v >= 0 else -m
+
+
+def _flush_eobrun(bw: _BitWriter, ac_map: dict, eob_state: list) -> None:
+    """Emit a pending EOBn symbol (+ its buffered refinement
+    correction bits) — progressive AC scans only."""
+    n, bits = eob_state
+    if n > 0:
+        nb = n.bit_length() - 1
+        code, ln = ac_map[nb << 4]
+        bw.write(code, ln)
+        if nb:
+            bw.write(n - (1 << nb), nb)
+        for bit in bits:
+            bw.write(bit, 1)
+        eob_state[0] = 0
+        eob_state[1] = []
+
+
+def _emit_ac_first(
+    bw: _BitWriter, ac_map: dict, coefs: np.ndarray,
+    ss: int, se: int, al: int, eob_state: list,
+) -> None:
+    """One block of a progressive AC FIRST scan (Ah == 0)."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = _pt_ac(int(coefs[k]), al)
+        if v == 0:
+            r += 1
+            continue
+        _flush_eobrun(bw, ac_map, eob_state)
+        while r > 15:
+            code, ln = ac_map[0xF0]  # ZRL
+            bw.write(code, ln)
+            r -= 16
+        s = _category(v)
+        code, ln = ac_map[(r << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        eob_state[0] += 1
+        if eob_state[0] == 0x7FFF:
+            _flush_eobrun(bw, ac_map, eob_state)
+
+
+def _emit_ac_refine(
+    bw: _BitWriter, ac_map: dict, coefs: np.ndarray,
+    ss: int, se: int, al: int, eob_state: list,
+) -> None:
+    """One block of a progressive AC REFINEMENT scan (Ah == Al+1) —
+    the libjpeg encode_mcu_AC_refine shape: newly nonzero coefficients
+    (|v| >> al == 1) get (run, 1) symbols + a sign bit; already-nonzero
+    ones buffer one correction bit each, emitted after the next symbol
+    (or with the EOB run they fall into)."""
+    band = [int(coefs[k]) for k in range(ss, se + 1)]
+    mags = [(v if v >= 0 else -v) >> al for v in band]
+    eobpos = -1
+    for i, m in enumerate(mags):
+        if m == 1:
+            eobpos = i
+    r = 0
+    br: list[int] = []
+    for i, v in enumerate(band):
+        m = mags[i]
+        if m == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eobpos:
+            _flush_eobrun(bw, ac_map, eob_state)
+            code, ln = ac_map[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for bit in br:
+                bw.write(bit, 1)
+            br = []
+        if m > 1:  # already nonzero at the previous precision
+            br.append(m & 1)
+            continue
+        _flush_eobrun(bw, ac_map, eob_state)
+        code, ln = ac_map[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if v > 0 else 0, 1)
+        for bit in br:
+            bw.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        eob_state[0] += 1
+        eob_state[1].extend(br)
+        if eob_state[0] == 0x7FFF or len(eob_state[1]) > 900:
+            _flush_eobrun(bw, ac_map, eob_state)
+
+
+#: custom AC Huffman table for progressive scans: Annex K's AC tables
+#: lack the EOBn (n >= 1) run symbols Annex G needs, so emit a uniform
+#: 9-bit canonical table over every symbol a progressive AC scan can
+#: produce (EOB0..EOB14 + ZRL + (run, size) for size 1..10) — 176
+#: codes, none all-ones, valid canonical DHT.
+_AC_PROG_VALS = bytes(
+    [(r << 4) for r in range(16)]
+    + [(r << 4) | s for s in range(1, 11) for r in range(16)]
+)
+_AC_PROG_BITS = bytes([0] * 8 + [len(_AC_PROG_VALS)] + [0] * 7)
+
+
 def encode_jpeg(
     arr: np.ndarray,
     quality: int = 85,
     *,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """(h, w[, c]) uint8 (gray or RGB) -> baseline JPEG bytes.
+    """(h, w[, c]) uint8 (gray or RGB) -> JPEG bytes.
 
     ``subsample=True`` writes 4:2:0 (2x2 luma blocks per MCU, chroma
     mean-pooled); default is 4:4:4.  ``restart_interval`` > 0 writes a
-    DRI segment and RSTn markers every that many MCUs."""
+    DRI segment and RSTn markers every that many MCUs (blocks, in
+    progressive non-interleaved scans).  ``progressive=True`` writes
+    SOF2 with spectral selection (DC scan, AC bands 1-5 and 6-63 per
+    component) and one successive-approximation level (Al=1 first
+    scans + Ah=1 refinement scans) — the same quantized coefficients
+    reordered, so decode is bit-identical to the sequential file."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nc = arr.shape
@@ -688,6 +1095,12 @@ def encode_jpeg(
     for plane, (sh, sv), qid in zip(planes, samp, qids):
         padded = _pad_to_block(plane, mcux * sh * 8, mcuy * sv * 8)
         coef_grids.append(_fdct_quant(padded, q_lum if qid == 0 else q_chr))
+
+    if progressive:
+        return _encode_jpeg_progressive(
+            h, w, nc, samp, q_lum, q_chr, coef_grids,
+            restart_interval, hmax, vmax, mcux, mcuy,
+        )
 
     dc_maps = [_encode_huff(_DC_LUM_BITS, _DC_LUM_VALS)]
     ac_maps = [_encode_huff(_AC_LUM_BITS, _AC_LUM_VALS)]
@@ -748,6 +1161,122 @@ def encode_jpeg(
     bw.flush()
     out.extend(bw.buf)
     out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+def _encode_jpeg_progressive(
+    h: int, w: int, nc: int, samp: list, q_lum: np.ndarray,
+    q_chr: np.ndarray, coef_grids: list, restart_interval: int,
+    hmax: int, vmax: int, mcux: int, mcuy: int,
+) -> bytes:
+    """SOF2 scan-script tail of encode_jpeg (same quantized
+    coefficients as the sequential path): interleaved DC first (Al=1)
+    -> per-component AC first bands 1-5 / 6-63 (Al=1) -> DC refinement
+    (Ah=1) -> per-component AC refinement bands."""
+    tsel = [0] + [1] * (nc - 1)
+    dc_maps = [_encode_huff(_DC_LUM_BITS, _DC_LUM_VALS)]
+    if nc == 3:
+        dc_maps.append(_encode_huff(_DC_CHR_BITS, _DC_CHR_VALS))
+    ac_map = _encode_huff(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    seg(0xDB, bytes([0x00]) + bytes(q_lum[_ZIGZAG].astype(np.uint8)))
+    if nc == 3:
+        seg(0xDB, bytes([0x01]) + bytes(q_chr[_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], tsel[ci]])
+    seg(0xC2, sof)
+    seg(0xC4, bytes([0x00]) + _DC_LUM_BITS + _DC_LUM_VALS)
+    if nc == 3:
+        seg(0xC4, bytes([0x01]) + _DC_CHR_BITS + _DC_CHR_VALS)
+    seg(0xC4, bytes([0x10]) + _AC_PROG_BITS + _AC_PROG_VALS)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+
+    rst = [0]  # RSTn modulo counter, shared across scans
+
+    def emit_restart(bw: _BitWriter) -> _BitWriter:
+        bw.flush()
+        out.extend(bw.buf)
+        out.extend(bytes([0xFF, 0xD0 + (rst[0] % 8)]))
+        rst[0] += 1
+        return _BitWriter()
+
+    def dc_scan(first: bool) -> None:
+        al, ahal = (1, 0x01) if first else (0, 0x10)
+        sos = bytes([nc])
+        for ci in range(nc):
+            sos += bytes([ci + 1, tsel[ci] << 4])
+        seg(0xDA, sos + bytes([0, 0, ahal]))
+        bw = _BitWriter()
+        preds = [0] * nc
+        n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and n and n % restart_interval == 0:
+                    bw = emit_restart(bw)
+                    preds = [0] * nc
+                for ci in range(nc):
+                    sh, sv = samp[ci]
+                    for v in range(sv):
+                        for hh in range(sh):
+                            dc = int(coef_grids[ci][my * sv + v, mx * sh + hh][0])
+                            if first:
+                                val = dc >> al  # DC: arithmetic shift
+                                diff = val - preds[ci]
+                                preds[ci] = val
+                                s = _category(diff)
+                                code, ln = dc_maps[tsel[ci]][s]
+                                bw.write(code, ln)
+                                if s:
+                                    bw.write(
+                                        diff if diff > 0 else diff + (1 << s) - 1,
+                                        s,
+                                    )
+                            else:
+                                bw.write(dc & 1, 1)  # Al=0 refinement bit
+                n += 1
+        bw.flush()
+        out.extend(bw.buf)
+
+    def ac_scan(ci: int, bs: int, be: int, first: bool) -> None:
+        al, ahal = (1, 0x01) if first else (0, 0x10)
+        seg(0xDA, bytes([1, ci + 1, 0x00, bs, be, ahal]))
+        sh, sv = samp[ci]
+        comp_cols = -(-(w * sh) // hmax)
+        comp_rows = -(-(h * sv) // vmax)
+        wb = -(-comp_cols // 8)
+        hb = -(-comp_rows // 8)
+        bw = _BitWriter()
+        eob_state: list = [0, []]
+        emit = _emit_ac_first if first else _emit_ac_refine
+        n = 0
+        for by in range(hb):
+            for bx in range(wb):
+                if restart_interval and n and n % restart_interval == 0:
+                    _flush_eobrun(bw, ac_map, eob_state)
+                    bw = emit_restart(bw)
+                emit(bw, ac_map, coef_grids[ci][by, bx], bs, be, al, eob_state)
+                n += 1
+        _flush_eobrun(bw, ac_map, eob_state)
+        bw.flush()
+        out.extend(bw.buf)
+
+    dc_scan(first=True)
+    for ci in range(nc):
+        ac_scan(ci, 1, 5, first=True)
+        ac_scan(ci, 6, 63, first=True)
+    dc_scan(first=False)
+    for ci in range(nc):
+        ac_scan(ci, 1, 5, first=False)
+        ac_scan(ci, 6, 63, first=False)
+    out.extend(b"\xff\xd9")
     return bytes(out)
 
 

@@ -11,12 +11,12 @@ resolution order per payload:
 
   1. a real library (PIL / soundfile / av) when importable;
   2. the pure-stdlib decoders in ``functions/codecs.py`` (PNG, BMP,
-     baseline JPEG, WAV) — REAL decodes with pixel/sample-derived
-     features, fully exercised in this container;
+     baseline + progressive JPEG, WAV) — REAL decodes with
+     pixel/sample-derived features, fully exercised in this container;
   3. otherwise the DETERMINISTIC FAKE decoder (dims from a stable
      payload hash, features = normalized byte histogram), keeping
      schema/batching/layout testable for formats with no decoder here
-     (MP4 frames, progressive JPEG, ...);
+     (MP4 frame pixels, arithmetic-coded JPEG, ...);
   ``strict=True`` raises NotImplementedError instead of faking, for
   callers that must not silently produce fake features.
 """

@@ -154,8 +154,48 @@ def test_jpeg_grayscale_roundtrip():
     assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).mean() < 2
 
 
-def test_jpeg_rejects_progressive():
-    """SOF2 must raise (falls back to fake/PIL in the stage)."""
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(),
+        dict(subsample=True),
+        dict(restart_interval=3),
+        dict(subsample=True, restart_interval=2),
+    ],
+)
+def test_jpeg_progressive_matches_sequential(kw):
+    """Progressive mode transmits the SAME quantized coefficients as
+    sequential mode (spectral selection + one successive-approximation
+    level), so decoding the SOF2 stream must reproduce the sequential
+    decode BIT-IDENTICALLY — across 4:2:0, restart markers, and both.
+    This exercises every Annex G block path: DC first/refine, AC
+    first (EOBRUN, ZRL), AC refine (correction bits)."""
+    img = _smooth_img(h=37, w=53)
+    base = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90, **kw))
+    pb = codecs.encode_jpeg(img, quality=90, progressive=True, **kw)
+    assert b"\xff\xc2" in pb and pb.count(b"\xff\xda") == 14  # real scan script
+    np.testing.assert_array_equal(codecs.decode_jpeg(pb), base)
+
+
+def test_jpeg_progressive_noise_and_gray():
+    """Dense random coefficients (no EOB runs, long ZRL chains) and the
+    grayscale single-component script both stay bit-identical."""
+    noisy = _img(h=24, w=31, c=3, seed=5)
+    np.testing.assert_array_equal(
+        codecs.decode_jpeg(codecs.encode_jpeg(noisy, quality=90, progressive=True)),
+        codecs.decode_jpeg(codecs.encode_jpeg(noisy, quality=90)),
+    )
+    g = _smooth_img()[:, :, 0]
+    np.testing.assert_array_equal(
+        codecs.decode_jpeg(codecs.encode_jpeg(g, quality=92, progressive=True)),
+        codecs.decode_jpeg(codecs.encode_jpeg(g, quality=92)),
+    )
+
+
+def test_jpeg_rejects_corrupt_progressive():
+    """A baseline stream with its SOF marker flipped to SOF2 is NOT a
+    valid progressive stream (interleaved full-band scan): the
+    progressive decoder must reject it, not misdecode."""
     data = bytearray(codecs.encode_jpeg(_smooth_img(16, 16)))
     i = bytes(data).find(b"\xff\xc0")
     data[i + 1] = 0xC2
