@@ -390,17 +390,22 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000
 def events_hourly_window(sf_dir: str) -> ray.data.Dataset:
     """Tumbling-window aggregate (stream-shaped workload on a batch
     engine): per (user_id, hour) count + sum(value).  The window key is
-    computed vectorized (floor_temporal) and the aggregate uses the
-    same partial-then-global combiner as Q1."""
+    computed vectorized (floor_temporal); the aggregate is a hash
+    exchange on hash(user_id, hour) + one arrow group_by per partition
+    (``partitioned_kernel``) — the window cardinality here is ~rows
+    (most (user, hour) pairs are unique), so map-side partials can't
+    shrink anything and Ray's sort-shuffle groupby would pay a full
+    sample+sort for nothing."""
+    from dedup_ray.core import partitioned_kernel
+    from dedup_ray.util import splitmix64
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     )
 
     def add_window(t: pa.Table) -> pa.Table:
         # windows over timestamped, attributed events (stated in the
-        # SQL's WHERE): Ray's sort-shuffle groupby places null keys
-        # nondeterministically at partition boundaries, which can split
-        # a null-key group into two output rows
+        # SQL's WHERE)
         t = t.filter(
             pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["user_id"]))
         )
@@ -410,21 +415,43 @@ def events_hourly_window(sf_dir: str) -> ray.data.Dataset:
         )
 
     windowed = ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
-    agg = windowed.groupby(["user_id", "hour"]).aggregate(
-        Count(alias_name="n_events"), Sum("value", alias_name="sum_raw")
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "hour": pa.array([], pa.timestamp("us")),
+            "n_events": pa.array([], pa.int64()),
+            "sum_value": pa.array([], pa.float64()),
+        }
     )
 
-    def finalize(t: pa.Table) -> pa.Table:
+    def key_hash(t: pa.Table) -> np.ndarray:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        h = (
+            pc.cast(t["hour"], pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype("uint64")
+        )
+        return splitmix64(u ^ splitmix64(h))
+
+    def kernel(g: pa.Table) -> pa.Table:
+        # count(*) per group = count of the (non-null post-filter) hour
+        # column; arrow sum skips nulls like SQL, all-null -> null
+        agg = g.group_by(["user_id", "hour"]).aggregate(
+            [("value", "sum"), ("hour", "count")]
+        )
         return pa.table(
             {
-                "user_id": t["user_id"],
-                "hour": t["hour"],
-                "n_events": pc.cast(t["n_events"], pa.int64()),
-                "sum_value": sql_round(t["sum_raw"], 3),
+                "user_id": agg["user_id"],
+                "hour": agg["hour"],
+                "n_events": pc.cast(agg["hour_count"], pa.int64()),
+                "sum_value": sql_round(agg["value_sum"], 3),
             }
         )
 
-    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    return partitioned_kernel(
+        windowed, key_hash, kernel, num_partitions=64, empty_result=empty
+    )
 
 
 EVENTS_HOURLY_WINDOW_SQL = """
