@@ -209,6 +209,33 @@ def partitioned_kernel(
     return ray.data.from_arrow_refs(out_refs)
 
 
+def global_kernel(
+    ds: ray.data.Dataset,
+    kernel: Callable[[pa.Table], pa.Table],
+    *,
+    empty_result: pa.Table,
+) -> ray.data.Dataset:
+    """Run ``kernel`` ONCE over all rows of ``ds`` as a single typed
+    block — the tiny-global-combine tail of a partial-aggregate
+    pipeline (merge per-batch partials, final top-k over per-partition
+    candidates, a rollup finalize).
+
+    Only for inputs bounded BY CONSTRUCTION (|groups| x block-count
+    partial rows, P x k candidates), never raw data: everything funnels
+    into one reduce task.  Compared to ``Dataset.groupby`` for the same
+    tail this avoids a full sort shuffle AND the schema-less empty
+    blocks Ray 2.49's aggregate emits for empty output partitions
+    (CLAUDE.md trap) — the output is exactly one block with
+    ``empty_result``'s schema even on zero rows."""
+    return partitioned_kernel(
+        ds,
+        lambda t: np.zeros(len(t), dtype=np.uint64),
+        kernel,
+        num_partitions=1,
+        empty_result=empty_result,
+    )
+
+
 def parquet_num_rows(path: str) -> int:
     """Row count from parquet FILE METADATA — no column scan.  The
     broadcast-vs-exchange join gate reads this so deciding the plan
@@ -216,6 +243,19 @@ def parquet_num_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def read_small_table(path: str, columns: list[str]) -> pa.Table:
+    """Driver-side read of a GATE-CHECKED small dimension (caller has
+    already proven row count <= the broadcast cap via
+    ``parquet_num_rows``): one local pyarrow read.  A
+    ``ray.data.read_parquet(...).to_pandas()`` here would spin up a
+    full streaming-executor job per dimension — fixed cost that
+    dominates a 5-row region table — to produce a driver-side copy
+    anyway."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path, columns=columns)
 
 
 _JKEY = "_jkey"

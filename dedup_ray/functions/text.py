@@ -275,23 +275,38 @@ def word_topk(sf_dir: str, k: int = 50) -> ray.data.Dataset:
             {"word": g["word"], "n_part": pc.cast(g["count_all"], pa.int64())}
         )
 
-    from ray.data.aggregate import Sum
+    from dedup_ray.core import global_kernel, hash_strings_u64, partitioned_kernel
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    merged = partials.groupby("word").aggregate(Sum("n_part", alias_name="n_raw"))
 
-    def finalize(t: pa.Table) -> pa.Table:
-        if "word" not in t.column_names or len(t) == 0:
-            return pa.table(
-                {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
-            )
-        return pa.table({"word": t["word"], "n": pc.cast(t["n_raw"], pa.int64())})
-
-    return (
-        merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
-        .sort(["n", "word"], descending=[True, False])
-        .limit(k)
+    empty = pa.table(
+        {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
     )
+
+    def combine_topk(g: pa.Table) -> pa.Table:
+        # each partition holds COMPLETE counts for its words (hash
+        # co-location), so the per-partition top-k under the final
+        # ordering (n desc, word asc) is a valid candidate superset —
+        # the full merged vocabulary never reaches a global sort
+        m = g.group_by("word").aggregate([("n_part", "sum")])
+        out = pa.table(
+            {"word": m["word"], "n": pc.cast(m["n_part_sum"], pa.int64())}
+        )
+        return out.sort_by([("n", "descending"), ("word", "ascending")]).slice(0, k)
+
+    candidates = partitioned_kernel(
+        partials,
+        lambda t: hash_strings_u64(t["word"].to_pylist()),
+        combine_topk,
+        num_partitions=64,
+        empty_result=empty,
+    )
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        # <= P x k candidate rows
+        return g.sort_by([("n", "descending"), ("word", "ascending")]).slice(0, k)
+
+    return global_kernel(candidates, final_topk, empty_result=empty)
 
 
 WORD_TOPK_SQL = """

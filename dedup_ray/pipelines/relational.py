@@ -100,30 +100,49 @@ def grouped_agg_q1(sf_dir: str) -> ray.data.Dataset:
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    merged = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity_sum", alias_name="sum_qty_raw"),
-        Sum("l_extendedprice_sum", alias_name="sum_base_raw"),
-        Sum("disc_price_sum", alias_name="sum_disc_raw"),
-        Sum("n", alias_name="count_order"),
+
+    empty = pa.table(
+        {
+            "l_returnflag": pa.array([], pa.string()),
+            "l_linestatus": pa.array([], pa.string()),
+            "sum_qty": pa.array([], pa.float64()),
+            "sum_base_price": pa.array([], pa.float64()),
+            "sum_disc_price": pa.array([], pa.float64()),
+            "avg_qty": pa.array([], pa.float64()),
+            "count_order": pa.array([], pa.int64()),
+        }
     )
 
-    def finalize(t: pa.Table) -> pa.Table:
+    def combine(g: pa.Table) -> pa.Table:
+        # global combine over |groups| x block-count partial rows —
+        # bounded by construction, so one typed block (global_kernel)
+        # beats a sort shuffle that would emit schema-less empties
+        m = g.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity_sum", "sum"),
+                ("l_extendedprice_sum", "sum"),
+                ("disc_price_sum", "sum"),
+                ("n", "sum"),
+            ]
+        )
         return pa.table(
             {
-                "l_returnflag": t["l_returnflag"],
-                "l_linestatus": t["l_linestatus"],
-                "sum_qty": sql_round(t["sum_qty_raw"], 2),
-                "sum_base_price": sql_round(t["sum_base_raw"], 2),
-                "sum_disc_price": sql_round(t["sum_disc_raw"], 2),
+                "l_returnflag": m["l_returnflag"],
+                "l_linestatus": m["l_linestatus"],
+                "sum_qty": sql_round(m["l_quantity_sum_sum"], 2),
+                "sum_base_price": sql_round(m["l_extendedprice_sum_sum"], 2),
+                "sum_disc_price": sql_round(m["disc_price_sum_sum"], 2),
                 "avg_qty": sql_round(
-                    pc.divide(t["sum_qty_raw"], pc.cast(t["count_order"], pa.float64())),
+                    pc.divide(m["l_quantity_sum_sum"], pc.cast(m["n_sum"], pa.float64())),
                     4,
                 ),
-                "count_order": pc.cast(t["count_order"], pa.int64()),
+                "count_order": pc.cast(m["n_sum"], pa.int64()),
             }
         )
 
-    return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    from dedup_ray.core import global_kernel
+
+    return global_kernel(partials, combine, empty_result=empty)
 
 
 GROUPED_AGG_Q1_SQL = """
@@ -189,15 +208,19 @@ def join_orders_customer(
     side streams map-only; above the cap the join falls back to one
     custkey-hash exchange (same output bit-exactly — pinned by
     tests/test_broadcast_fallback.py)."""
-    from dedup_ray.core import exchange_join_unique_dim, parquet_num_rows
+    from dedup_ray.core import (
+        exchange_join_unique_dim,
+        parquet_num_rows,
+        read_small_table,
+    )
 
     cap = BROADCAST_BUILD_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
     if parquet_num_rows(f"{sf_dir}/customer.parquet") <= cap:
-        customer = ray.data.read_parquet(
-            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        customer = read_small_table(
+            f"{sf_dir}/customer.parquet", ["c_custkey", "c_mktsegment"]
         ).to_pandas()
         keys = customer["c_custkey"].to_numpy()
         order = np.argsort(keys)
@@ -221,20 +244,45 @@ def join_orders_customer(
             dim_fields=[("c_mktsegment", pa.string())],
             num_partitions=_DEFAULT_NUM_PARTITIONS,
         )
-    agg = joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_raw")
-    )
-
-    def finalize(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
+        # map-side combiner: only ~|segments| rows per batch reach the
+        # global shuffle, not the full joined fact table
+        g = t.group_by("c_mktsegment").aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")]
+        )
         return pa.table(
             {
-                "c_mktsegment": t["c_mktsegment"],
-                "n_orders": pc.cast(t["n_orders"], pa.int64()),
-                "total_price": sql_round(t["total_raw"], 2),
+                "c_mktsegment": g["c_mktsegment"],
+                "n_part": pc.cast(g["count_all"], pa.int64()),
+                "sum_part": g["o_totalprice_sum"],
             }
         )
 
-    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    partials = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    empty = pa.table(
+        {
+            "c_mktsegment": pa.array([], pa.string()),
+            "n_orders": pa.array([], pa.int64()),
+            "total_price": pa.array([], pa.float64()),
+        }
+    )
+
+    def combine(g: pa.Table) -> pa.Table:
+        m = g.group_by("c_mktsegment").aggregate(
+            [("n_part", "sum"), ("sum_part", "sum")]
+        )
+        return pa.table(
+            {
+                "c_mktsegment": m["c_mktsegment"],
+                "n_orders": pc.cast(m["n_part_sum"], pa.int64()),
+                "total_price": sql_round(m["sum_part_sum"], 2),
+            }
+        )
+
+    from dedup_ray.core import global_kernel
+
+    return global_kernel(partials, combine, empty_result=empty)
 
 
 JOIN_ORDERS_CUSTOMER_SQL = """
@@ -528,11 +576,13 @@ def customers_per_region(sf_dir: str) -> ray.data.Dataset:
     mapping once on the driver, ray.put it, and enrich per batch — the
     canonical star-schema pattern that avoids chained shuffle joins
     entirely (and Ray 2.49's chained-join defect, see stages/lsh.py)."""
-    nation = ray.data.read_parquet(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    from dedup_ray.core import global_kernel, read_small_table
+
+    nation = read_small_table(
+        f"{sf_dir}/nation.parquet", ["n_nationkey", "n_regionkey"]
     ).to_pandas()
-    region = ray.data.read_parquet(
-        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    region = read_small_table(
+        f"{sf_dir}/region.parquet", ["r_regionkey", "r_name"]
     ).to_pandas()
     n2r = nation.merge(
         region, left_on="n_regionkey", right_on="r_regionkey"
@@ -545,20 +595,38 @@ def customers_per_region(sf_dir: str) -> ray.data.Dataset:
     enriched = customer.map_batches(
         _enrich_region, fn_kwargs={"ref": ref}, batch_format="pyarrow", zero_copy_batch=True
     )
-    agg = enriched.groupby("r_name").aggregate(
-        Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="bal_raw")
-    )
-    return agg.map_batches(
-        lambda t: pa.table(
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("r_name").aggregate([("c_acctbal", "sum"), ([], "count_all")])
+        return pa.table(
             {
-                "r_name": t["r_name"],
-                "n_customers": pc.cast(t["n_customers"], pa.int64()),
-                "total_acctbal": sql_round(t["bal_raw"], 2),
+                "r_name": g["r_name"],
+                "n_part": pc.cast(g["count_all"], pa.int64()),
+                "bal_part": g["c_acctbal_sum"],
             }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        )
+
+    partials = enriched.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    empty = pa.table(
+        {
+            "r_name": pa.array([], pa.string()),
+            "n_customers": pa.array([], pa.int64()),
+            "total_acctbal": pa.array([], pa.float64()),
+        }
     )
+
+    def combine(g: pa.Table) -> pa.Table:
+        m = g.group_by("r_name").aggregate([("n_part", "sum"), ("bal_part", "sum")])
+        return pa.table(
+            {
+                "r_name": m["r_name"],
+                "n_customers": pc.cast(m["n_part_sum"], pa.int64()),
+                "total_acctbal": sql_round(m["bal_part_sum"], 2),
+            }
+        )
+
+    return global_kernel(partials, combine, empty_result=empty)
 
 
 CUSTOMERS_PER_REGION_SQL = """
@@ -1237,15 +1305,20 @@ def tpch_q5_region_revenue(
     s_nationkey predicate plus the per-nation revenue sum collapse to
     a masked bincount over nation codes — partials of at most
     n_nations rows per partition reach the tiny global aggregate."""
-    from dedup_ray.core import numeric_key_u64, parquet_num_rows, partitioned_kernel
+    from dedup_ray.core import (
+        numeric_key_u64,
+        parquet_num_rows,
+        partitioned_kernel,
+        read_small_table,
+    )
 
     lo = np.datetime64("1995-01-01", "us")
     hi = np.datetime64("1997-01-01", "us")
-    region = ray.data.read_parquet(
-        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    region = read_small_table(
+        f"{sf_dir}/region.parquet", ["r_regionkey", "r_name"]
     ).to_pandas()
-    nation = ray.data.read_parquet(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    nation = read_small_table(
+        f"{sf_dir}/nation.parquet", ["n_nationkey", "n_name", "n_regionkey"]
     ).to_pandas()
     asia = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
     nat = nation[nation["n_regionkey"].isin(asia)]
@@ -1296,11 +1369,11 @@ def tpch_q5_region_revenue(
             order = np.argsort(keys)
             return keys[order], nats[order]
 
-        cust = ray.data.read_parquet(
-            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        cust = read_small_table(
+            f"{sf_dir}/customer.parquet", ["c_custkey", "c_nationkey"]
         ).to_pandas()
-        supp = ray.data.read_parquet(
-            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        supp = read_small_table(
+            f"{sf_dir}/supplier.parquet", ["s_suppkey", "s_nationkey"]
         ).to_pandas()
         probes_ref = ray.put(
             (_probe("c_custkey", "c_nationkey", cust), _probe("s_suppkey", "s_nationkey", supp))
@@ -1465,25 +1538,25 @@ def tpch_q5_region_revenue(
         num_partitions=64,
         empty_result=partial_empty,
     )
-    merged = partials.groupby("nat").aggregate(Sum("revenue_raw", alias_name="rev"))
+    empty = pa.table(
+        {"n_name": pa.array([], pa.string()), "revenue": pa.array([], pa.float64())}
+    )
 
-    def finalize(t: pa.Table) -> pa.Table:
-        if "nat" not in t.column_names or len(t) == 0:
-            return pa.table(
-                {"n_name": pa.array([], pa.string()), "revenue": pa.array([], pa.float64())}
-            )
-        names = [nat_names[int(k)] for k in t["nat"].to_pylist()]
-        return pa.table(
+    def combine(g: pa.Table) -> pa.Table:
+        # |nations| x P partial rows -> one typed, globally sorted block
+        m = g.group_by("nat").aggregate([("revenue_raw", "sum")])
+        names = [nat_names[int(k)] for k in m["nat"].to_pylist()]
+        out = pa.table(
             {
                 "n_name": pa.array(names, pa.string()),
-                "revenue": sql_round(t["rev"], 2),
+                "revenue": sql_round(m["revenue_raw_sum"], 2),
             }
         )
+        return out.sort_by([("revenue", "descending"), ("n_name", "ascending")])
 
-    return (
-        merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
-        .sort(["revenue", "n_name"], descending=[True, False])
-    )
+    from dedup_ray.core import global_kernel
+
+    return global_kernel(partials, combine, empty_result=empty)
 
 
 TPCH_Q5_REGION_REVENUE_SQL = """
@@ -1706,7 +1779,11 @@ def part_revenue_by_brand(
     under the gate, key-hash exchange (core.exchange_join_unique_dim)
     above it; either plan streams lineitem map-only / one exchange and
     pre-aggregates per batch before the tiny per-brand groupby."""
-    from dedup_ray.core import exchange_join_unique_dim, parquet_num_rows
+    from dedup_ray.core import (
+        exchange_join_unique_dim,
+        parquet_num_rows,
+        read_small_table,
+    )
 
     cap = BROADCAST_BUILD_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
     lines = ray.data.read_parquet(
@@ -1723,8 +1800,8 @@ def part_revenue_by_brand(
     lines = lines.map_batches(rev_cols, batch_format="pyarrow", zero_copy_batch=True)
 
     if parquet_num_rows(f"{sf_dir}/part.parquet") <= cap:
-        part = ray.data.read_parquet(
-            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+        part = read_small_table(
+            f"{sf_dir}/part.parquet", ["p_partkey", "p_brand"]
         ).to_pandas()
         keys = part["p_partkey"].to_numpy()
         order = np.argsort(keys)
@@ -1757,38 +1834,49 @@ def part_revenue_by_brand(
             num_partitions=_DEFAULT_NUM_PARTITIONS,
         )
 
-    # repartition(1) before the finalize: Ray's hash aggregate emits
-    # SCHEMA-LESS blocks for empty partitions (CLAUDE.md trap) which
-    # bypass map_batches and trip the executor's "different schema"
-    # warning downstream; consolidating the tiny per-brand aggregate
-    # (<= |brands| rows) into one block restores a single typed schema
-    # — same shape orders_rollup uses for its finalize.
-    agg = (
-        joined.groupby("p_brand")
-        .aggregate(Count(alias_name="n_items"), Sum("rev", alias_name="rev_raw"))
-        .repartition(1)
-    )
-
-    def finalize(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
+        # map-side combiner: the full joined fact table never reaches a
+        # shuffle — only ~|brands| rows per batch do
         if "p_brand" not in t.column_names or len(t) == 0:
             return pa.table(
                 {
                     "p_brand": pa.array([], pa.string()),
-                    "n_items": pa.array([], pa.int64()),
-                    "revenue": pa.array([], pa.float64()),
+                    "n_part": pa.array([], pa.int64()),
+                    "rev_part": pa.array([], pa.float64()),
                 }
             )
+        g = t.group_by("p_brand").aggregate([("rev", "sum"), ([], "count_all")])
         return pa.table(
             {
-                "p_brand": t["p_brand"],
-                "n_items": pc.cast(t["n_items"], pa.int64()),
-                "revenue": sql_round(t["rev_raw"], 2),
+                "p_brand": g["p_brand"],
+                "n_part": pc.cast(g["count_all"], pa.int64()),
+                "rev_part": g["rev_sum"],
             }
         )
 
-    return agg.map_batches(
-        finalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    partials = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    empty = pa.table(
+        {
+            "p_brand": pa.array([], pa.string()),
+            "n_items": pa.array([], pa.int64()),
+            "revenue": pa.array([], pa.float64()),
+        }
     )
+
+    def combine(g: pa.Table) -> pa.Table:
+        m = g.group_by("p_brand").aggregate([("n_part", "sum"), ("rev_part", "sum")])
+        return pa.table(
+            {
+                "p_brand": m["p_brand"],
+                "n_items": pc.cast(m["n_part_sum"], pa.int64()),
+                "revenue": sql_round(m["rev_part_sum"], 2),
+            }
+        )
+
+    from dedup_ray.core import global_kernel
+
+    return global_kernel(partials, combine, empty_result=empty)
 
 
 PART_REVENUE_BY_BRAND_SQL = """

@@ -173,27 +173,42 @@ def cosine_topk(
         zero_copy_batch=True,
     )
 
+    empty = pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64()),
+        }
+    )
+
     def final(group: pa.Table) -> pa.Table:
-        if "neighbor_id" not in group.column_names:
-            return pa.table(
-                {
-                    "query_id": pa.array([], type=pa.int64()),
-                    "neighbor_id": pa.array([], type=pa.int64()),
-                    "rank": pa.array([], type=pa.int64()),
-                }
-            )
+        # multi-group kernel over ALL candidate rows (n_queries x
+        # batches x k — bounded by construction): one lexsort segments
+        # the candidates by query, then per-query top-k slices
+        qid = group["query_id"].to_numpy(zero_copy_only=False)
         nid = group["neighbor_id"].to_numpy(zero_copy_only=False)
         cos = group["cos"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((nid, -cos))[:k]
+        order = np.lexsort((nid, -cos, qid))
+        qs = qid[order]
+        starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        ends = np.r_[starts[1:], len(qs)]
+        keep = np.concatenate(
+            [order[s : min(s + k, e)] for s, e in zip(starts, ends)]
+        ) if len(qs) else np.empty(0, dtype=np.int64)
+        ranks = np.concatenate(
+            [np.arange(1, min(s + k, e) - s + 1) for s, e in zip(starts, ends)]
+        ) if len(qs) else np.empty(0, dtype=np.int64)
         return pa.table(
             {
-                "query_id": group["query_id"].take(pa.array(order)),
-                "neighbor_id": pa.array(nid[order], type=pa.int64()),
-                "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
+                "query_id": pa.array(qid[keep], type=pa.int64()),
+                "neighbor_id": pa.array(nid[keep], type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int64()),
             }
         )
 
-    return partials.groupby("query_id").map_groups(final, batch_format="pyarrow")
+    from dedup_ray.core import global_kernel
+
+    return global_kernel(partials, final, empty_result=empty)
 
 
 COSINE_TOPK_SQL = """
