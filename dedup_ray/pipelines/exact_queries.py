@@ -9,7 +9,6 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count
 
 from dedup_ray.config import DEFAULT_CONFIG
 from dedup_ray.sources.pages import documents_as_pages
@@ -70,14 +69,27 @@ FROM w
 
 
 def count_by_lang(sf_dir: str) -> ray.data.Dataset:
-    """Grouped count per language (ref A11 breakdown; SURVEY B18)."""
+    """Grouped count per language (ref A11 breakdown; SURVEY B18):
+    per-batch group_by partials, tiny global combine in one typed
+    block (|langs| x block-count rows — no sort shuffle over docs)."""
+    from dedup_ray.core import global_kernel
+
     ds = documents_as_pages(sf_dir)
-    agg = ds.groupby("lang").aggregate(Count(alias_name="n"))
-    return agg.map_batches(
-        lambda t: pa.table({"lang": t["lang"], "n": pc.cast(t["n"], pa.int64())}),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([([], "count_all")])
+        return pa.table(
+            {"lang": g["lang"], "n_part": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    empty = pa.table({"lang": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+
+    def combine(g: pa.Table) -> pa.Table:
+        m = g.group_by("lang").aggregate([("n_part", "sum")])
+        return pa.table({"lang": m["lang"], "n": pc.cast(m["n_part_sum"], pa.int64())})
+
+    return global_kernel(partials, combine, empty_result=empty)
 
 
 COUNT_BY_LANG_SQL = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
@@ -264,7 +276,6 @@ def length_histogram(
     LENGTH_BUCKET_WIDTH; a non-default ``bucket_width`` is fine for ad
     hoc use but is NOT what the registered oracle checks."""
     import numpy as np
-    from ray.data.aggregate import Max, Min, Sum
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["n_chars"]
@@ -291,36 +302,40 @@ def length_histogram(
             }
         )
 
+    from dedup_ray.core import global_kernel
+
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    agg = partials.groupby("bucket").aggregate(
-        Sum("n_docs", alias_name="n_docs"),
-        Sum("total_chars", alias_name="total_chars"),
-        Min("min_chars", alias_name="min_chars"),
-        Max("max_chars", alias_name="max_chars"),
+
+    empty = pa.table(
+        {
+            "bucket": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "total_chars": pa.array([], pa.int64()),
+            "min_chars": pa.array([], pa.int64()),
+            "max_chars": pa.array([], pa.int64()),
+        }
     )
 
-    def finalize(t: pa.Table) -> pa.Table:
-        if "bucket" not in t.column_names or len(t) == 0:
-            return pa.table(
-                {
-                    "bucket": pa.array([], pa.int64()),
-                    "n_docs": pa.array([], pa.int64()),
-                    "total_chars": pa.array([], pa.int64()),
-                    "min_chars": pa.array([], pa.int64()),
-                    "max_chars": pa.array([], pa.int64()),
-                }
-            )
+    def combine(g: pa.Table) -> pa.Table:
+        m = g.group_by("bucket").aggregate(
+            [
+                ("n_docs", "sum"),
+                ("total_chars", "sum"),
+                ("min_chars", "min"),
+                ("max_chars", "max"),
+            ]
+        )
         return pa.table(
             {
-                "bucket": pc.cast(t["bucket"], pa.int64()),
-                "n_docs": pc.cast(t["n_docs"], pa.int64()),
-                "total_chars": pc.cast(t["total_chars"], pa.int64()),
-                "min_chars": pc.cast(t["min_chars"], pa.int64()),
-                "max_chars": pc.cast(t["max_chars"], pa.int64()),
+                "bucket": pc.cast(m["bucket"], pa.int64()),
+                "n_docs": pc.cast(m["n_docs_sum"], pa.int64()),
+                "total_chars": pc.cast(m["total_chars_sum"], pa.int64()),
+                "min_chars": pc.cast(m["min_chars_min"], pa.int64()),
+                "max_chars": pc.cast(m["max_chars_max"], pa.int64()),
             }
         )
 
-    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    return global_kernel(partials, combine, empty_result=empty)
 
 
 LENGTH_HISTOGRAM_SQL = f"""
@@ -349,7 +364,6 @@ def dedup_rate_by_source(sf_dir: str) -> ray.data.Dataset:
     import numpy as np
 
     from dedup_ray.core import partitioned_kernel
-    from ray.data.aggregate import Sum
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
@@ -417,36 +431,34 @@ def dedup_rate_by_source(sf_dir: str) -> ray.data.Dataset:
         num_partitions=DEFAULT_CONFIG.num_partitions,
         empty_result=empty,
     )
-    agg = partials.groupby("source").aggregate(
-        Sum("n_part", alias_name="n_docs"),
-        Sum("dup_part", alias_name="n_dup_docs"),
+    from dedup_ray.core import global_kernel
+
+    out_empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_dup_docs": pa.array([], pa.int64()),
+            "dup_rate": pa.array([], pa.float64()),
+        }
     )
 
-    def finalize(t: pa.Table) -> pa.Table:
-        if "source" not in t.column_names or len(t) == 0:
-            return pa.table(
-                {
-                    "source": pa.array([], pa.string()),
-                    "n_docs": pa.array([], pa.int64()),
-                    "n_dup_docs": pa.array([], pa.int64()),
-                    "dup_rate": pa.array([], pa.float64()),
-                }
-            )
+    def combine(g: pa.Table) -> pa.Table:
         from dedup_ray.functions.scalar import sql_round
 
-        n = pc.cast(t["n_docs"], pa.int64())
-        d = pc.cast(t["n_dup_docs"], pa.int64())
+        m = g.group_by("source").aggregate([("n_part", "sum"), ("dup_part", "sum")])
+        n = pc.cast(m["n_part_sum"], pa.int64())
+        d = pc.cast(m["dup_part_sum"], pa.int64())
         rate = pc.divide(pc.cast(d, pa.float64()), pc.cast(n, pa.float64()))
         return pa.table(
             {
-                "source": t["source"],
+                "source": m["source"],
                 "n_docs": n,
                 "n_dup_docs": d,
                 "dup_rate": sql_round(rate, 4),
             }
         )
 
-    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    return global_kernel(partials, combine, empty_result=out_empty)
 
 
 DEDUP_RATE_BY_SOURCE_SQL = """

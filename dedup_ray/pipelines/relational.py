@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from dedup_ray.config import DEFAULT_CONFIG as _CFG
 from dedup_ray.functions.scalar import sql_round
@@ -318,16 +318,20 @@ def distinct_event_types(sf_dir: str) -> ray.data.Dataset:
     equivalent to ds.unique() but stays a Dataset with a named column."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
     partial = ds.map_batches(
-        # distinct over non-null types (stated in the SQL's WHERE):
-        # Ray's sort-based groupby cannot order None among strings
+        # distinct over non-null types (stated in the SQL's WHERE)
         lambda t: t.filter(pc.is_valid(t["event_type"]))
         .group_by("event_type")
         .aggregate([]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return partial.groupby("event_type").map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+
+    from dedup_ray.core import global_kernel
+
+    return global_kernel(
+        partial,
+        lambda g: g.group_by("event_type").aggregate([]),
+        empty_result=pa.table({"event_type": pa.array([], pa.string())}),
     )
 
 
@@ -519,33 +523,46 @@ def union_shards(sf_dir: str) -> ray.data.Dataset:
     type — exercises set-union plus dedup-after-union."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
-    ).map_batches(
-        # grouped over non-null types (stated in the SQL's WHERE) —
-        # Ray's sort groupby cannot order None among strings; the
-        # value shard predicates already drop null values identically
-        # on both sides (SQL comparison semantics)
-        lambda t: t.filter(pc.is_valid(t["event_type"])),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
     )
+
+    def shard_partial(t: pa.Table, *, negative: bool) -> pa.Table:
+        # filter + per-shard partial count FUSED in one UDF: union is
+        # then the LAST lazy op before the global combine — Ray 2.49's
+        # UnionOperator drops the schema of empty bundles, so a map
+        # stage AFTER a union of filterable shards would emit
+        # schema-less blocks (measured; the combine's kernel layer
+        # absorbs them, but the executor warning is noise)
+        t = t.filter(pc.is_valid(t["event_type"]))
+        pred = pc.less(t["value"], 0.0) if negative else pc.greater_equal(t["value"], 0.0)
+        g = t.filter(pred).group_by("event_type").aggregate([([], "count_all")])
+        return pa.table(
+            {"event_type": g["event_type"], "n_part": pc.cast(g["count_all"], pa.int64())}
+        )
+
     lo = ds.map_batches(
-        lambda t: t.filter(pc.less(t["value"], 0.0)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        shard_partial, fn_kwargs={"negative": True},
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     hi = ds.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["value"], 0.0)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        shard_partial, fn_kwargs={"negative": False},
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     both = lo.union(hi)
-    agg = both.groupby("event_type").aggregate(Count(alias_name="n"))
-    return agg.map_batches(
-        lambda t: pa.table(
-            {"event_type": t["event_type"], "n": pc.cast(t["n"], pa.int64())}
+
+    from dedup_ray.core import global_kernel
+
+    def combine(g: pa.Table) -> pa.Table:
+        m = g.group_by("event_type").aggregate([("n_part", "sum")])
+        return pa.table(
+            {"event_type": m["event_type"], "n": pc.cast(m["n_part_sum"], pa.int64())}
+        )
+
+    return global_kernel(
+        both,
+        combine,
+        empty_result=pa.table(
+            {"event_type": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
         ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
     )
 
 
@@ -1705,30 +1722,30 @@ def orders_rollup(sf_dir: str) -> ray.data.Dataset:
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    fine = partials.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(
-        Sum("price_sum", alias_name="sum_raw"), Sum("n_part", alias_name="n_raw")
+
+    #: SQL ROLLUP on a fully empty table still yields the
+    #: ('ALL','ALL',0,NULL) grand-total row — global_kernel's fallback
+    #: value IS that row, so the empty-corpus edge now matches the
+    #: oracle exactly instead of emitting nothing.
+    rollup_fallback = pa.table(
+        {
+            "o_orderstatus": pa.array(["ALL"], pa.string()),
+            "o_orderpriority": pa.array(["ALL"], pa.string()),
+            "n": pa.array([0], pa.int64()),
+            "sum_price": pa.array([None], pa.float64()),
+        }
     )
 
-    def rollup(t: pa.Table) -> pa.Table:
-        # schema guard (CLAUDE.md): empty grouped partitions emit
-        # schema-less blocks.  On a fully empty orders table SQL's
-        # ROLLUP still emits the ('ALL','ALL',0,NULL) grand-total row —
-        # matched here when the block reaches us (a 0-row block that
-        # bypasses map_batches entirely cannot be patched at this
-        # layer; the driver tables are never empty).
-        if "o_orderstatus" not in t.column_names or len(t) == 0:
-            return pa.table(
-                {
-                    "o_orderstatus": pa.array(["ALL"], pa.string()),
-                    "o_orderpriority": pa.array(["ALL"], pa.string()),
-                    "n": pa.array([0], pa.int64()),
-                    "sum_price": pa.array([None], pa.float64()),
-                }
-            )
-        status = np.array(t["o_orderstatus"].to_pylist(), dtype=object)
-        prio = np.array(t["o_orderpriority"].to_pylist(), dtype=object)
-        sums = t["sum_raw"].to_numpy(zero_copy_only=False).astype(np.float64)
-        ns = t["n_raw"].to_numpy(zero_copy_only=False).astype(np.int64)
+    def rollup(g: pa.Table) -> pa.Table:
+        # combine the per-batch partials, then derive the rollup levels
+        # from the <= |status| x |priority| fine rows — one typed block
+        fine = g.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("price_sum", "sum"), ("n_part", "sum")]
+        )
+        status = np.array(fine["o_orderstatus"].to_pylist(), dtype=object)
+        prio = np.array(fine["o_orderpriority"].to_pylist(), dtype=object)
+        sums = fine["price_sum_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ns = fine["n_part_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
         out_s = list(status)
         out_p = list(prio)
         out_sum = list(sums)
@@ -1752,9 +1769,9 @@ def orders_rollup(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return fine.repartition(1).map_batches(
-        rollup, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
+    from dedup_ray.core import global_kernel
+
+    return global_kernel(partials, rollup, empty_result=rollup_fallback)
 
 
 ORDERS_ROLLUP_SQL = """

@@ -626,15 +626,17 @@ def ann_lsh_pairs(
         zero_copy_batch=True,
     )
 
-    # dedupe across tables: hash aggregate (vectorized) — NOT map_groups,
-    # whose per-group UDF call dominates on thousands of 1-row groups
-    from ray.data.aggregate import Count
+    # dedupe across tables: hash-partition on the pair key + one
+    # vectorized per-partition distinct — no sort shuffle, no
+    # schema-less empty output blocks
+    from dedup_ray.core import numeric_key_u64, partitioned_kernel
 
-    agg = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_n"))
-    return agg.map_batches(
-        lambda t: t.select(["id_a", "id_b"]) if "id_a" in t.column_names else t,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    return partitioned_kernel(
+        pairs,
+        lambda t: numeric_key_u64(t, ["id_a", "id_b"]),
+        lambda g: g.group_by(["id_a", "id_b"]).aggregate([]),
+        num_partitions=64,
+        empty_result=pairs_empty,
     )
 
 

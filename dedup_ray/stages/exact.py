@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 
 def exact_dedup_groups(
@@ -178,6 +178,56 @@ def dup_stats(assignments: ray.data.Dataset) -> ray.data.Dataset:
 def topk_largest_groups(hashed: ray.data.Dataset, k: int = 10) -> ray.data.Dataset:
     """Top-k exact-hash groups by size, deterministic order
     (n desc, content_sha256 asc) — reference A11's 'biggest offenders'
-    view.  Pre-aggregation happens inside Ray's hash aggregate."""
-    sizes = hashed.groupby("content_sha256").aggregate(Count(alias_name="n"))
-    return sizes.sort(["n", "content_sha256"], descending=[True, False]).limit(k)
+    view.
+
+    Shape: per-batch sha partials -> sha_u64-keyed hash exchange with
+    a per-partition top-k (each partition holds COMPLETE counts for
+    its shas, so its top-k under the final ordering is a valid
+    candidate superset) -> one P x k global selection.  The full group
+    census never reaches a sort."""
+    import numpy as np
+
+    from dedup_ray.core import global_kernel, partitioned_kernel
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["content_sha256", "sha_u64"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "content_sha256": g["content_sha256"],
+                "sha_u64": g["sha_u64"],
+                "n_part": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    partials = hashed.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    empty = pa.table(
+        {
+            "content_sha256": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def combine_topk(g: pa.Table) -> pa.Table:
+        m = g.group_by(["content_sha256"]).aggregate([("n_part", "sum")])
+        out = pa.table(
+            {"content_sha256": m["content_sha256"], "n": pc.cast(m["n_part_sum"], pa.int64())}
+        )
+        return out.sort_by(
+            [("n", "descending"), ("content_sha256", "ascending")]
+        ).slice(0, k)
+
+    candidates = partitioned_kernel(
+        partials,
+        lambda t: t["sha_u64"].to_numpy(zero_copy_only=False).view(np.uint64),
+        combine_topk,
+        num_partitions=64,
+        empty_result=empty,
+    )
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        return g.sort_by(
+            [("n", "descending"), ("content_sha256", "ascending")]
+        ).slice(0, k)
+
+    return global_kernel(candidates, final_topk, empty_result=empty)

@@ -501,11 +501,14 @@ def ivf_near_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    from ray.data.aggregate import Count
+    # dedupe across probed lists: hash-partition on the pair key + one
+    # vectorized per-partition distinct (same shape as ann_lsh_pairs)
+    from dedup_ray.core import numeric_key_u64
 
-    agg = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_n"))
-    return agg.map_batches(
-        lambda t: t.select(["id_a", "id_b"]) if "id_a" in t.column_names else t,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    return partitioned_kernel(
+        pairs,
+        lambda t: numeric_key_u64(t, ["id_a", "id_b"]),
+        lambda g: g.group_by(["id_a", "id_b"]).aggregate([]),
+        num_partitions=64,
+        empty_result=_PAIRS_EMPTY,
     )
