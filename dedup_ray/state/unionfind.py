@@ -425,16 +425,27 @@ def _components_ref(
     time (monkeypatchable in tests)."""
     if forest_node_budget is None:
         forest_node_budget = FOREST_NODE_BUDGET
-    # leaf forests as RAW tasks over the edge blocks (one per block,
-    # same parallelism as the former map_batches) — the Dataset layer
-    # BYPASSES fused UDFs on empty blocks and emits them schema-less
-    # (executor "different schema" warnings); _block_forest's own
-    # passthrough guard handles them here instead, and the refs feed
-    # the actor pool directly anyway
-    leaf = ray.remote(_block_forest)
+    # leaf forests stay a FUSED map over the (lazy) edge pipeline: the
+    # pair-generation UDFs and _block_forest run in the same task, so
+    # edge rows never land in plasma as their own blocks (measured:
+    # materializing edges first + raw leaf tasks cost ~10% flagship
+    # wall at 600k pages).  Cost of the fusion: the Dataset layer
+    # BYPASSES UDFs on empty blocks and re-emits them schema-less (one
+    # cosmetic executor warning when a source block yields no pairs);
+    # absorb() and _block_forest both tolerate those blocks.
     refs = [
-        leaf.remote(r, u_col, v_col, label_u_col, label_v_col)
-        for r in edges.materialize().to_arrow_refs()
+        r
+        for r in edges.map_batches(
+            _block_forest,
+            fn_kwargs={
+                "u_col": u_col,
+                "v_col": v_col,
+                "label_u_col": label_u_col,
+                "label_v_col": label_v_col,
+            },
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_arrow_refs()
     ]
     if not refs:
         return None
