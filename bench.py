@@ -197,19 +197,31 @@ def _spawn_child(ncpu: int, cores: str, runs: int) -> subprocess.Popen:
         BENCH_MODE="scaling_child",
         BENCH_RUNS=str(runs),
     )
-    return subprocess.Popen(
+    errlog = open(f"/tmp/bench_child_{ncpu}cpu.err", "w")
+    proc = subprocess.Popen(
         ["taskset", "-c", cores, sys.executable, os.path.abspath(__file__)],
         env=env,
         stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL,
+        stderr=errlog,
         text=True,
     )
+    proc._errlog_path = errlog.name  # type: ignore[attr-defined]
+    return proc
 
 
 def _child_result(proc: subprocess.Popen) -> dict:
     out, _ = proc.communicate()
     if proc.returncode != 0:
-        raise RuntimeError(f"scaling child failed rc={proc.returncode}")
+        path = getattr(proc, "_errlog_path", "?")
+        tail = ""
+        try:
+            with open(path) as f:
+                tail = "".join(f.readlines()[-15:])
+        except OSError:
+            pass
+        raise RuntimeError(
+            f"scaling child failed rc={proc.returncode} (stderr: {path})\n{tail}"
+        )
     return json.loads(out.strip().splitlines()[-1])
 
 
