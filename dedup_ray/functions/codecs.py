@@ -1199,7 +1199,7 @@ def _encode_jpeg_progressive(
     if restart_interval:
         seg(0xDD, struct.pack(">H", restart_interval))
 
-    rst = [0]  # RSTn modulo counter, shared across scans
+    rst = [0]  # RSTn modulo counter; resets to RST0 at each SOS (T.81 E.1.4)
 
     def emit_restart(bw: _BitWriter) -> _BitWriter:
         bw.flush()
@@ -1214,6 +1214,7 @@ def _encode_jpeg_progressive(
         for ci in range(nc):
             sos += bytes([ci + 1, tsel[ci] << 4])
         seg(0xDA, sos + bytes([0, 0, ahal]))
+        rst[0] = 0
         bw = _BitWriter()
         preds = [0] * nc
         n = 0
@@ -1248,6 +1249,7 @@ def _encode_jpeg_progressive(
     def ac_scan(ci: int, bs: int, be: int, first: bool) -> None:
         al, ahal = (1, 0x01) if first else (0, 0x10)
         seg(0xDA, bytes([1, ci + 1, 0x00, bs, be, ahal]))
+        rst[0] = 0
         sh, sv = samp[ci]
         comp_cols = -(-(w * sh) // hmax)
         comp_rows = -(-(h * sv) // vmax)

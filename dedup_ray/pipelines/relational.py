@@ -25,7 +25,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from dedup_ray.config import DEFAULT_CONFIG as _CFG
 from dedup_ray.functions.scalar import sql_round
@@ -247,6 +246,14 @@ def join_orders_customer(
     def partial(t: pa.Table) -> pa.Table:
         # map-side combiner: only ~|segments| rows per batch reach the
         # global shuffle, not the full joined fact table
+        if "c_mktsegment" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "n_part": pa.array([], pa.int64()),
+                    "sum_part": pa.array([], pa.float64()),
+                }
+            )
         g = t.group_by("c_mktsegment").aggregate(
             [("o_totalprice", "sum"), ([], "count_all")]
         )
@@ -1090,19 +1097,28 @@ def distinct_users_by_type(sf_dir: str) -> ray.data.Dataset:
         num_partitions=_DEFAULT_NUM_PARTITIONS,
         empty_result=part_empty,
     )
-    agg = partials.groupby("event_type").aggregate(
-        Sum("partial", alias_name="n_users")
+    out_empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n_users": pa.array([], pa.int64()),
+        }
     )
-    return agg.map_batches(
-        lambda t: pa.table(
+
+    def combine(g: pa.Table) -> pa.Table:
+        # |event_types| x P partial rows — bounded by construction, so
+        # one typed block (global_kernel) beats a sort shuffle that
+        # would emit schema-less empties (CLAUDE.md trap)
+        m = g.group_by("event_type").aggregate([("partial", "sum")])
+        return pa.table(
             {
-                "event_type": t["event_type"],
-                "n_users": pc.cast(t["n_users"], pa.int64()),
+                "event_type": m["event_type"],
+                "n_users": pc.cast(m["partial_sum"], pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        )
+
+    from dedup_ray.core import global_kernel
+
+    return global_kernel(partials, combine, empty_result=out_empty)
 
 
 DISTINCT_USERS_BY_TYPE_SQL = """

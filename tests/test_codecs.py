@@ -192,6 +192,34 @@ def test_jpeg_progressive_noise_and_gray():
     )
 
 
+def test_jpeg_progressive_restart_numbering_resets_per_scan():
+    """T.81 E.1.4: restart-marker numbering starts at RST0 after every
+    SOS.  The repo's decoder ignores RSTn numbers, but spec-conforming
+    decoders (libjpeg family) validate the per-scan sequence — a
+    counter carried across scans makes the file unreadable elsewhere."""
+    pb = codecs.encode_jpeg(
+        _smooth_img(h=37, w=53), quality=90, progressive=True, restart_interval=2
+    )
+    # In entropy-coded data every 0xFF is followed by 0x00 (stuffing)
+    # or an RSTn, so raw 0xFFDA bytes always delimit real SOS headers.
+    scans = pb.split(b"\xff\xda")[1:]
+    assert len(scans) == 14
+    saw_rst = 0
+    for seg in scans:
+        nums = []
+        i = 0
+        while i < len(seg) - 1:
+            if seg[i] == 0xFF and 0xD0 <= seg[i + 1] <= 0xD7:
+                nums.append(seg[i + 1] - 0xD0)
+                i += 2
+            else:
+                i += 1
+        if nums:
+            saw_rst += 1
+            assert nums == [k % 8 for k in range(len(nums))], nums
+    assert saw_rst >= 10  # most scans of this image emit restarts
+
+
 def test_jpeg_rejects_corrupt_progressive():
     """A baseline stream with its SOF marker flipped to SOF2 is NOT a
     valid progressive stream (interleaved full-band scan): the
