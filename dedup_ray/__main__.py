@@ -141,7 +141,9 @@ def main(argv: list[str] | None = None) -> int:
                 return ds
 
             def set_priority(t: pa.Table) -> pa.Table:
-                prio = pc.cast(t[prio_col], pa.int64())
+                # null user-priority competes at the default 0 (a null
+                # would NaN-degrade the winner kernel's lexsort)
+                prio = pc.fill_null(pc.cast(t[prio_col], pa.int64()), 0)
                 if "priority" in t.column_names:
                     t = t.drop_columns(["priority"])
                 return t.append_column("priority", prio)

@@ -147,6 +147,13 @@ class DedupConfig:
         d = asdict(self)
         for k in self._SEMANTIC_EXCLUDE:
             d.pop(k, None)
+        # the frozen extractor's identity IS semantics: every stage
+        # hashes the text it produces, so an extractor change must
+        # invalidate checkpoints (stages/extract.py's documented
+        # contract — previously claimed but not actually hashed)
+        from dedup_ray.stages.extract import EXTRACTOR_VERSION
+
+        d["extractor_version"] = EXTRACTOR_VERSION
         return d
 
     def config_hash(self) -> str:

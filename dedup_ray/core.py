@@ -22,7 +22,6 @@ cores; each partition must fit a worker's heap.
 
 from __future__ import annotations
 
-import hashlib
 from typing import Callable
 
 import numpy as np
@@ -58,15 +57,13 @@ def default_pool_size(cap: int = 64) -> int:
 
 
 def hash_strings_u64(values: list) -> np.ndarray:
-    """Stable per-row 64-bit hash of a string column (one blake2b C
-    call per row — the unavoidable cost of string keys)."""
-    out = np.empty(len(values), dtype=np.uint64)
-    b2 = hashlib.blake2b
-    for i, v in enumerate(values):
-        out[i] = int.from_bytes(
-            b2((v or "").encode(), digest_size=8).digest(), "little"
-        )
-    return out
+    """Stable per-row 64-bit hash of a string column.  Alias of
+    ``util.hash_urls_u64`` (the designated hashing home — CLAUDE.md):
+    a single definition keeps every doc_id / partition key derived
+    from one function that cannot drift."""
+    from dedup_ray.util import hash_urls_u64
+
+    return hash_urls_u64(values)
 
 
 def numeric_key_u64(table: pa.Table, cols: list[str]) -> np.ndarray:

@@ -23,6 +23,14 @@ PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
 def _add_priority(batch: pa.Table) -> pa.Table:
     if "priority" in batch.column_names:
+        col = batch["priority"]
+        if col.null_count:
+            # null priority competes at the documented default 0 (a
+            # null would NaN-degrade the winner kernel's lexsort)
+            i = batch.column_names.index("priority")
+            batch = batch.set_column(
+                i, "priority", pc.fill_null(pc.cast(col, pa.int64()), 0)
+            )
         return batch
     return batch.append_column(
         "priority", pa.array([0] * len(batch), type=pa.int64())
@@ -158,8 +166,9 @@ def read_pages_jsonl(
         )
     else:
         ds = ray.data.read_json(path)
+    lenient = on_bad_lines == "skip"
     return ds.map_batches(
-        lambda t: _normalize_pages(t, drop_html=drop_html),
+        lambda t: _normalize_pages(t, drop_html=drop_html, lenient=lenient),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -191,14 +200,64 @@ def read_pages_csv(
         )
     else:
         ds = ray.data.read_csv(path)
+    lenient = on_bad_lines == "skip"
     return ds.map_batches(
-        lambda t: _normalize_pages(t, drop_html=drop_html),
+        lambda t: _normalize_pages(t, drop_html=drop_html, lenient=lenient),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
 
 
-def _normalize_pages(batch: pa.Table, *, drop_html: bool) -> pa.Table:
+def _parse_warc_ts(ts: pa.Array | pa.ChunkedArray, *, lenient: bool) -> pa.Array:
+    """String -> timestamp[us].  Fast path: one vectorized strptime of
+    the canonical ``%Y-%m-%dT%H:%M:%S``.  Any batch containing a value
+    that diverges (``Z`` suffix, fractional seconds, space separator —
+    all common crawl variants, all valid ISO-8601 per this module's
+    documented contract) takes a per-value salvage parse; values even
+    ``fromisoformat`` rejects raise in strict mode and become null
+    (counted, warned) in lenient mode — ``on_bad_lines="skip"`` must
+    not let one torn timestamp kill a 10^12-doc ingest.  Canonical
+    values parse identically on both paths, so per-value output never
+    depends on batch composition."""
+    s = pc.cast(ts, pa.string())
+    try:
+        return pc.strptime(s, format="%Y-%m-%dT%H:%M:%S", unit="us")
+    except pa.ArrowInvalid:
+        pass
+    from datetime import datetime, timezone
+
+    out: list = []
+    bad = 0
+    for v in s.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            dt = datetime.fromisoformat(v.replace("Z", "+00:00"))
+        except ValueError:
+            if not lenient:
+                raise ValueError(
+                    f"unparseable warc_ts {v!r} (on_bad_lines='error')"
+                ) from None
+            out.append(None)
+            bad += 1
+            continue
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+        out.append(dt)
+    if bad:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "pages ingest: nulled %d unparseable warc_ts value(s) in one batch",
+            bad,
+        )
+    return pa.array(out, type=pa.timestamp("us"))
+
+
+def _normalize_pages(
+    batch: pa.Table, *, drop_html: bool, lenient: bool = False
+) -> pa.Table:
     """Coerce an arbitrary-schema batch to the canonical pages schema
     (url/warc_ts/html/text/lang + priority), vectorized."""
     n = len(batch)
@@ -214,9 +273,7 @@ def _normalize_pages(batch: pa.Table, *, drop_html: bool) -> pa.Table:
             cols["warc_ts"] = ts.cast(pa.timestamp("us"))
         else:
             # ISO-8601 strings (JSONL/CSV carry timestamps as text)
-            cols["warc_ts"] = pc.strptime(
-                pc.cast(ts, pa.string()), format="%Y-%m-%dT%H:%M:%S", unit="us"
-            )
+            cols["warc_ts"] = _parse_warc_ts(ts, lenient=lenient)
     else:
         cols["warc_ts"] = pa.nulls(n, pa.timestamp("us"))
     if not drop_html:
@@ -237,8 +294,12 @@ def _normalize_pages(batch: pa.Table, *, drop_html: bool) -> pa.Table:
         if "lang" in names
         else pa.nulls(n, pa.string())
     )
+    # a row whose priority key is merely OMITTED must compete at the
+    # documented default 0, not sort as NaN behind every real value
+    # (int64-with-null -> float64 NaN in the winner kernel's lexsort,
+    # batch-boundary-dependent canonical selection)
     cols["priority"] = (
-        pc.cast(batch["priority"], pa.int64())
+        pc.fill_null(pc.cast(batch["priority"], pa.int64()), 0)
         if "priority" in names
         else pa.array([0] * n, type=pa.int64())
     )

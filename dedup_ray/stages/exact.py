@@ -21,7 +21,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Sum
 
 
 def exact_dedup_groups(
@@ -120,17 +119,26 @@ def exact_members(
     One full-corpus shuffle keyed by the precomputed ``sha_u64``
     partition hash; winner selection runs as a vectorized kernel per
     hash partition (NOT per sha group — see core.partitioned_kernel)."""
-    from dedup_ray.core import partitioned_kernel
+    from dedup_ray.core import partitioned_kernel, schema_names
 
     def key_hash(t: pa.Table) -> np.ndarray:
         return t["sha_u64"].to_numpy(zero_copy_only=False).view(np.uint64)
+
+    # mirror the kernel's conditional lang column in the empty result:
+    # on dup-heavy corpora with fewer shas than partitions, zero-row
+    # reduce partitions otherwise emit 10-column blocks beside the
+    # populated 11-column ones — Ray 2.49 warns "RefBundle with a
+    # different schema" through every downstream stage
+    empty = _MEMBERS_EMPTY
+    if "lang" in (schema_names(hashed) or ()):
+        empty = empty.append_column("lang", pa.array([], type=pa.string()))
 
     return partitioned_kernel(
         hashed,
         key_hash,
         _members_kernel,
         num_partitions=num_partitions or 64,
-        empty_result=_MEMBERS_EMPTY,
+        empty_result=empty,
     )
 
 
@@ -161,18 +169,34 @@ def _stats_partial(batch: pa.Table) -> pa.Table:
     )
 
 
+_STATS_COLS = ("n_pages", "n_distinct_hashes", "n_dup_pages", "reclaimable_chars")
+
+
 def dup_stats(assignments: ray.data.Dataset) -> ray.data.Dataset:
-    """Global duplicate statistics (reference A11) as a 1-row table."""
+    """Global duplicate statistics (reference A11) as a 1-row table.
+
+    One partial row per block -> one typed global combine
+    (core.global_kernel; a ``groupby(None).aggregate`` here would pay a
+    sort shuffle and return an EMPTY table on a zero-row corpus — the
+    typed zeroed row matches what SQL's ungrouped aggregate returns)."""
+    from dedup_ray.core import global_kernel
+
     partials = assignments.map_batches(
         _stats_partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    out = partials.groupby(None).aggregate(
-        Sum("n_pages", alias_name="n_pages"),
-        Sum("n_distinct_hashes", alias_name="n_distinct_hashes"),
-        Sum("n_dup_pages", alias_name="n_dup_pages"),
-        Sum("reclaimable_chars", alias_name="reclaimable_chars"),
+    zero_row = pa.table(
+        {c: pa.array([0], type=pa.int64()) for c in _STATS_COLS}
     )
-    return out
+
+    def combine(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                c: pa.array([pc.sum(g[c]).as_py() or 0], type=pa.int64())
+                for c in _STATS_COLS
+            }
+        )
+
+    return global_kernel(partials, combine, empty_result=zero_row)
 
 
 def topk_largest_groups(hashed: ray.data.Dataset, k: int = 10) -> ray.data.Dataset:

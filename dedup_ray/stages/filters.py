@@ -22,14 +22,11 @@ def _batch_filter(expr_fn):
 
 def drop_empty(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Drop pages with null/empty text (reference A9 'ignore empties')."""
+    # coalesce maps null text to "" whose utf8_length is 0 — one
+    # expression covers both the null and the empty case
     return ds.map_batches(
         _batch_filter(
-            lambda t: pc.and_(
-                t["text"].combine_chunks().is_valid()
-                if isinstance(t["text"], pa.ChunkedArray)
-                else t["text"].is_valid(),
-                pc.greater(pc.utf8_length(pc.coalesce(t["text"], "")), 0),
-            )
+            lambda t: pc.greater(pc.utf8_length(pc.coalesce(t["text"], "")), 0)
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -77,6 +77,19 @@ def test_config_change_invalidates(pages_dir, tmp_path):
     assert all(not s.skipped for s in report.values())
 
 
+def test_extractor_version_participates_in_config_hash(monkeypatch):
+    """stages/extract.py's contract: EXTRACTOR_VERSION is hashed into
+    lineage, so changing the extractor invalidates checkpoints instead
+    of silently resuming text computed under the old rule."""
+    import dedup_ray.stages.extract as extract_mod
+
+    cfg = DedupConfig()
+    assert cfg.semantic_dict()["extractor_version"] == extract_mod.EXTRACTOR_VERSION
+    before = cfg.config_hash()
+    monkeypatch.setattr(extract_mod, "EXTRACTOR_VERSION", "body-utf8-v2-test")
+    assert cfg.config_hash() != before
+
+
 def test_corrupt_manifest_recomputes_instead_of_crashing(ray_session, tmp_path):
     """External damage to a stage manifest (truncation, disk fault)
     must be treated as 'stage absent' — recompute, don't crash.  The

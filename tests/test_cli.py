@@ -51,6 +51,32 @@ def test_cli_run_and_resume(tmp_path):
     s2 = run()
     assert all(v == "skipped" for v in s2["stages"].values())
     assert s2["n_clusters"] == s1["n_clusters"]
+    # the re-run must OVERWRITE assignments_by_kind, not append a
+    # second write_uuid's worth of duplicate files beside the first
+    assert s2["n_pages"] == 300
+    written = pq.read_table(s2["assignments"])
+    assert len(written) == 300
+
+
+def test_write_assignments_overwrites_previous_run(ray_session, tmp_path):
+    """Ray names parquet output with a fresh per-run write_uuid, so a
+    bare write_parquet into an existing directory APPENDS a duplicate
+    copy — the sink must replace the directory atomically instead."""
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.sources.sinks import write_assignments_parquet
+
+    t = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(10)], pa.string()),
+            "kind": pa.array(["exact" if i % 2 else "unique" for i in range(10)]),
+        }
+    )
+    out = str(tmp_path / "assignments_by_kind")
+    for _ in range(2):
+        write_assignments_parquet(ray.data.from_arrow(t), out)
+    assert len(pq.read_table(out)) == 10
 
 
 @pytest.mark.slow

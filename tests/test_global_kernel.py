@@ -107,3 +107,38 @@ def test_topk_largest_groups_ties_across_partitions(ray_session):
     out = topk_largest_groups(rd.from_arrow(blocks), k=10).take_all()
     assert [r["n"] for r in out] == [3] * 10
     assert [r["content_sha256"] for r in out] == sorted(shas[:25])[:10]
+
+
+def test_exact_members_empty_partitions_keep_lang_schema(ray_session):
+    """On dup-heavy corpora with fewer distinct shas than partitions,
+    zero-row reduce partitions must emit the SAME schema as populated
+    ones (incl. the conditional lang column) — mixed schemas trigger
+    Ray 2.49's 'RefBundle with a different schema' warning through
+    every downstream stage."""
+    import ray
+    import ray.data as rd
+
+    from dedup_ray.stages.exact import exact_members
+    from dedup_ray.util import hash_urls_u64
+
+    urls = [f"https://x/{i}" for i in range(12)]
+    tbl = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "doc_id": pa.array(
+                hash_urls_u64(urls).view(np.int64), pa.int64()
+            ),
+            "content_sha256": pa.array(["a" * 64] * 12, pa.string()),
+            "sha_u64": pa.array([123] * 12, pa.int64()),
+            "n_chars": pa.array([5] * 12, pa.int64()),
+            "priority": pa.array([0] * 12, pa.int64()),
+            "text": pa.array(["hello"] * 12, pa.string()),
+            "lang": pa.array(["en"] * 12, pa.string()),
+        }
+    )
+    out = exact_members(rd.from_arrow(tbl), num_partitions=8).materialize()
+    schemas = {
+        tuple(ray.get(ref).column_names) for ref in out.to_arrow_refs()
+    }
+    assert len(schemas) == 1, schemas
+    assert "lang" in next(iter(schemas))

@@ -125,6 +125,88 @@ def test_on_bad_lines_skip_drops_malformed(ray_session, tmp_path):
     assert sorted(df["url"]) == ["https://a/", "https://c/"]
 
 
+def test_warc_ts_iso_variants_parse_and_garbage_is_mode_dependent(
+    ray_session, tmp_path
+):
+    """Common crawl timestamp variants (Z suffix, fractional seconds,
+    space separator) are valid ISO-8601 per the reader contract and
+    must parse in BOTH modes; a garbage warc_ts nulls (and counts) in
+    skip mode instead of killing the read task, and still fails loudly
+    in error mode."""
+    ok = tmp_path / "ts_variants.jsonl"
+    with open(ok, "w") as f:
+        f.write('{"url": "a", "text": "x", "warc_ts": "2025-01-01T00:00:01"}\n')
+        f.write('{"url": "b", "text": "x", "warc_ts": "2025-01-01T00:00:02Z"}\n')
+        f.write('{"url": "c", "text": "x", "warc_ts": "2025-01-01T00:00:03.500000"}\n')
+        f.write('{"url": "d", "text": "x", "warc_ts": "2025-01-01 00:00:04"}\n')
+    for mode in ("error", "skip"):
+        df = (
+            read_pages_jsonl(str(ok), on_bad_lines=mode)
+            .to_pandas()
+            .sort_values("url", ignore_index=True)
+        )
+        import pandas as pd
+
+        got = df["warc_ts"].tolist()
+        assert got == [
+            pd.Timestamp("2025-01-01 00:00:01"),
+            pd.Timestamp("2025-01-01 00:00:02"),
+            pd.Timestamp("2025-01-01 00:00:03.500000"),
+            pd.Timestamp("2025-01-01 00:00:04"),
+        ], (mode, got)
+
+    bad = tmp_path / "ts_garbage.jsonl"
+    with open(bad, "w") as f:
+        f.write('{"url": "a", "text": "x", "warc_ts": "2025-01-01T00:00:01"}\n')
+        f.write('{"url": "b", "text": "x", "warc_ts": "not a timestamp"}\n')
+    df = (
+        read_pages_jsonl(str(bad), on_bad_lines="skip")
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    assert df["url"].tolist() == ["a", "b"]
+    assert df["warc_ts"].notna().tolist() == [True, False]
+    with pytest.raises(Exception):
+        read_pages_jsonl(str(bad)).to_pandas()
+
+
+def test_omitted_priority_competes_at_default_zero(ray_session, tmp_path):
+    """A row whose priority key is merely omitted gets the documented
+    int64 default 0 — never a null that NaN-degrades the winner
+    kernel's lexsort batch-dependently."""
+    p = tmp_path / "prio.jsonl"
+    with open(p, "w") as f:
+        f.write('{"url": "a", "text": "x", "priority": 5}\n')
+        f.write('{"url": "b", "text": "x"}\n')
+    df = (
+        read_pages_jsonl(str(p))
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    assert df["priority"].tolist() == [5, 0]
+    assert df["priority"].notna().all()
+
+    # parquet path: an explicit null priority also normalizes to 0
+    t = pa.table(
+        {
+            "url": pa.array(["a", "b"], pa.string()),
+            "text": pa.array(["x", "x"], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "priority": pa.array([7, None], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "prio.parquet")
+    df = (
+        read_pages_parquet(
+            str(tmp_path / "prio.parquet"),
+            columns=["url", "text", "lang", "priority"],
+        )
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    assert df["priority"].tolist() == [7, 0]
+
+
 def test_on_bad_lines_skip_drops_schema_malformed(ray_session, tmp_path):
     """Valid-JSON lines with wrong-TYPED values (text as a list,
     priority as a string/bool) are schema damage and must be dropped
