@@ -47,16 +47,17 @@ _LANG_P = [0.90, 0.04, 0.03, 0.03]
 
 
 def _rng(seed: int, *parts) -> np.random.Generator:
-    key = [seed] + [p if isinstance(p, int) else abs(hash_str(p)) for p in parts]
+    key = [seed] + [p if isinstance(p, int) else hash_str(p) for p in parts]
     return np.random.Generator(np.random.PCG64(key))
 
 
 def hash_str(s: str) -> int:
-    import hashlib
+    """Alias of util.hash_url — ONE definition of the string hash
+    (CLAUDE.md: all hashing via dedup_ray/util.py); the value is
+    already an unsigned 64-bit int."""
+    from dedup_ray.util import hash_url
 
-    return int.from_bytes(
-        hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
-    )
+    return hash_url(s)
 
 
 def make_vocab(seed: int, size: int = 10_000) -> np.ndarray:

@@ -102,7 +102,10 @@ _SIMHASH_DEDUP_EMPTY = pa.table(
 def simhash_dedup(sf_dir: str) -> ray.data.Dataset:
     """SimHash near-dup grouping: exact 64-bit simhash match (the
     cheap variant; hamming-ball probing is the banded extension).
-    Every doc gets a cluster labeled by its group's min url.
+    Every doc WITH AT LEAST ONE SHINGLE gets a cluster labeled by its
+    group's min url — empty-text winners carry no simhash signal and
+    are excluded (they cluster in the exact layer; pinned by the
+    sf0.001 content anchor).
 
     SimHashes are near-unique, so this runs as ONE vectorized
     multi-group kernel per hash partition (core.partitioned_kernel) —
@@ -157,14 +160,6 @@ def ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     distributed: candidate id pairs feed the text-attach semi-join
     directly (urls come back attached from the text rows; nothing is
     resolved on the driver)."""
-    from dedup_ray.stages.jaccard import exact_jaccard_edges
-    from dedup_ray.stages.lsh import (
-        _EMPTY_PAIRS,
-        dedupe_pairs,
-        fused_candidate_pairs,
-        lsh_bands,
-    )
-
     winners = _winners(sf_dir).materialize()
     return _jaccard_pairs_from_winners(winners)
 

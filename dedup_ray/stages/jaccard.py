@@ -184,18 +184,29 @@ def exact_jaccard_edges(
         urls = g["url"].to_pylist()
         slots_sorted = slots[order]
         out_u, out_v, out_s = [], [], []
+        # a doc proposed in many candidate pairs attaches its text once
+        # per pair — tokenize+shingle it once per DISTINCT doc in this
+        # partition, not once per pair occurrence (the expensive work
+        # scales with pair degree otherwise)
+        shingle_cache: dict[int, np.ndarray] = {}
+
+        def uniq_shingles(doc_id: int, row: int) -> np.ndarray:
+            arr = shingle_cache.get(doc_id)
+            if arr is None:
+                # exact shingle sets via the SAME vectorized kernel the
+                # signatures use (identical token/shingle definition)
+                th, c = mh._token_hashes(pa.array([texts[row] or ""]))
+                sset, _ = mh._shingles(th, c, cfg.shingle_k)
+                arr = np.unique(sset)
+                shingle_cache[doc_id] = arr
+            return arr
+
         for s in starts[ok].tolist():
             if slots_sorted[s] != 0 or slots_sorted[s + 1] != 1:
                 continue
             i0, i1 = order[s], order[s + 1]
-            # exact shingle sets via the SAME vectorized kernel the
-            # signatures use (identical token/shingle definition)
-            th0, c0 = mh._token_hashes(pa.array([texts[i0] or ""]))
-            th1, c1 = mh._token_hashes(pa.array([texts[i1] or ""]))
-            s0, _ = mh._shingles(th0, c0, cfg.shingle_k)
-            s1, _ = mh._shingles(th1, c1, cfg.shingle_k)
-            a = np.unique(s0)
-            b = np.unique(s1)
+            a = uniq_shingles(int(us_s[s]), i0)
+            b = uniq_shingles(int(vs_s[s]), i1)
             inter = len(np.intersect1d(a, b, assume_unique=True))
             union = len(a) + len(b) - inter
             if union == 0:

@@ -32,7 +32,6 @@ from dedup_ray.config import DedupConfig
 from dedup_ray.core import default_pool_size
 from dedup_ray.util import (
     _POLY_C,
-    blake2b_u64,
     minhash_perms,
     minhash_signatures,
     splitmix64,
@@ -65,7 +64,12 @@ class MinHasher:
     def __init__(self, cfg: DedupConfig) -> None:
         self.cfg = cfg
         self.a, self.b = minhash_perms(cfg.num_perms, cfg.seed + 1)
-        self._token_cache: dict[str, int] = {}
+        # ONE token-hash definition repo-wide (util.TokenHasher is what
+        # the brute-force oracle uses — sharing it keeps the recall
+        # gate meaningful by construction)
+        from dedup_ray.util import TokenHasher
+
+        self._token_hasher = TokenHasher(seed=cfg.seed)
         self._bit_shifts = np.arange(64, dtype=np.uint64)
 
     # ---- vectorized sub-steps --------------------------------------
@@ -82,20 +86,11 @@ class MinHasher:
         enc = flat.dictionary_encode()
         idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uniq = enc.dictionary.to_pylist()
-        cache = self._token_cache
-        seed = self.cfg.seed
-        uh = np.empty(len(uniq), dtype=np.uint64)
-        empty_code = -1
-        for i, tok in enumerate(uniq):
-            if tok == "":
-                empty_code = i
-                uh[i] = 0
-                continue
-            v = cache.get(tok)
-            if v is None:
-                v = blake2b_u64(tok.encode("utf-8", "surrogatepass"), seed=seed)
-                cache[tok] = v
-            uh[i] = v
+        # hash the batch's unique dictionary via the shared cached
+        # TokenHasher; empty tokens (regex-split artifacts) are removed
+        # below, so their hash value never reaches a shingle
+        uh = self._token_hasher.hash_tokens(uniq)
+        empty_code = uniq.index("") if "" in uniq else -1
         th_all = uh[idx]
         doc_id = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
         if empty_code >= 0:

@@ -24,10 +24,31 @@ resolution order per payload:
 from __future__ import annotations
 
 import hashlib
+import struct
+import wave
+import zlib
 
 import numpy as np
 import pyarrow as pa
 import ray.data
+
+#: what the pure-stdlib codecs actually raise on corrupt payloads:
+#: ValueError (format violations), struct.error (truncated headers),
+#: zlib.error (damaged DEFLATE streams), wave.Error/RuntimeError (the
+#: stdlib wave module), EOFError/IndexError/OverflowError (torn
+#: bitstreams).  The non-strict fallback must catch ALL of them — one
+#: corrupt payload in a corpus must degrade to the fake decoder,
+#: never kill the whole map_batches task.
+CODEC_ERRORS = (
+    ValueError,
+    struct.error,
+    zlib.error,
+    wave.Error,
+    RuntimeError,
+    EOFError,
+    IndexError,
+    OverflowError,
+)
 
 #: payload batches are kept small: batch_size x payload_size x
 #: concurrency must fit the worker heap (SURVEY.md §4 memory rule)
@@ -107,14 +128,21 @@ class DecodeImage:
             if kind == "jpeg":
                 px = codecs.decode_jpeg(payload)
                 return px.shape[1], px.shape[0], px.shape[2], self._pixel_features(px)
-        except ValueError:
-            pass  # unsupported sub-format -> PIL / fake below
+        except CODEC_ERRORS:
+            if self.strict:
+                raise  # strict mode surfaces the real decode error
+            # corrupt / unsupported sub-format -> PIL / fake below
         if self.pil is not None:
             import io
 
-            img = self.pil.open(io.BytesIO(payload))
-            w, h = img.size
-            return w, h, len(img.getbands()), self._features(payload)
+            try:
+                img = self.pil.open(io.BytesIO(payload))
+                w, h = img.size
+                return w, h, len(img.getbands()), self._features(payload)
+            except Exception:
+                if self.strict:
+                    raise
+                # PIL can't parse it either -> fake below
         if self.strict:
             raise NotImplementedError(
                 f"no decoder for this payload (sniffed: {kind!r}); PIL is "
@@ -229,8 +257,10 @@ class SampleFrames:
             if codecs.sniff(payload) == "mp4":
                 try:
                     frames = self._sample_mp4(payload)
-                except ValueError:
-                    frames = None  # fragmented / no video track -> fallback
+                except CODEC_ERRORS:
+                    if self.strict:
+                        raise  # strict mode surfaces the real parse error
+                    frames = None  # fragmented / torn / no video track -> fallback
             if frames is None:
                 if self.strict:
                     raise NotImplementedError(
@@ -335,8 +365,9 @@ class DecodeAudio:
                     feats.append(self._spectral_features(x, sr))
                     urls.append(url)
                     continue
-                except ValueError:
-                    pass
+                except CODEC_ERRORS:
+                    if self.strict:
+                        raise  # strict mode surfaces the real decode error
             if self.strict:
                 raise NotImplementedError(
                     "no decoder for this audio payload (only 16-bit PCM "

@@ -27,6 +27,22 @@ _EMPTY = pa.table(
     }
 )
 
+#: per-byte popcount lookup — 8 bytes of temporaries per pair vs the
+#: 64 a per-pair unpackbits matrix costs
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+#: pair-enumeration slab: ~4M index pairs (~100 MB of temporaries)
+_PAIR_CHUNK = 1 << 22
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return (
+        _POP8[np.ascontiguousarray(x).view(np.uint8)]
+        .reshape(-1, 8)
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
 
 def simhash_hamming_pairs(
     signatures: ray.data.Dataset,
@@ -34,6 +50,7 @@ def simhash_hamming_pairs(
     *,
     max_hamming: int = 3,
     num_partitions: int | None = None,
+    pair_chunk: int | None = None,
 ) -> ray.data.Dataset:
     """signatures (url, simhash64, n_shingles) -> pairs with
     popcount(simhash_u XOR simhash_v) <= max_hamming.
@@ -44,6 +61,9 @@ def simhash_hamming_pairs(
     """
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
+    # closure-captured (pickled by value into the worker tasks) so
+    # tests can force the slab path on tiny buckets
+    pair_chunk = _PAIR_CHUNK if pair_chunk is None else pair_chunk
 
     def to_blocks(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -94,24 +114,48 @@ def simhash_hamming_pairs(
         urls = np.array(g["url"].to_pylist(), dtype=object)[order]
         sh = g["simhash64"].to_numpy(zero_copy_only=False).view(np.uint64)[order]
         out_u, out_v, out_h = [], [], []
+
+        def emit(seg_urls, seg_sh, iu, jv) -> None:
+            x = seg_sh[iu] ^ seg_sh[jv]
+            ham = _popcount64(x)
+            keep = (ham <= max_hamming) & (seg_urls[iu] != seg_urls[jv])
+            a, b = seg_urls[iu[keep]], seg_urls[jv[keep]]
+            out_u.append(np.minimum(a, b))
+            out_v.append(np.maximum(a, b))
+            out_h.append(ham[keep])
+
         for s, L in zip(starts[multi].tolist(), lens[multi].tolist()):
             seg_urls = urls[s : s + L]
             seg_sh = sh[s : s + L]
-            iu, jv = np.triu_indices(L, k=1)
-            x = seg_sh[iu] ^ seg_sh[jv]
-            # vectorized popcount via byte-view unpackbits
-            ham = (
-                np.unpackbits(np.ascontiguousarray(x).view(np.uint8).reshape(-1, 8), axis=1)
-                .sum(axis=1)
-                .astype(np.int64)
+            n_pairs = L * (L - 1) // 2
+            if n_pairs <= pair_chunk:
+                iu, jv = np.triu_indices(L, k=1)
+                emit(seg_urls, seg_sh, iu, jv)
+                continue
+            # hot bucket (a boilerplate family sharing one block value):
+            # enumerate the SAME pairs in the SAME row-major order in
+            # bounded slabs — np.triu_indices materializes all L*(L-1)/2
+            # index pairs at once and a single reduce task would OOM on
+            # a 10k-doc bucket.  Output semantics are EXACT and
+            # identical to the one-shot path (never capped: unlike the
+            # LSH candidate generator, this kernel's output IS the
+            # verified pair list, so dropping pairs here loses recall).
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash_hamming_pairs: hot bucket of %d docs "
+                "(%d pairs) — enumerating in %d-pair slabs",
+                L, n_pairs, pair_chunk,
             )
-            keep = (ham <= max_hamming) & (seg_urls[iu] != seg_urls[jv])
-            a, b = seg_urls[iu[keep]], seg_urls[jv[keep]]
-            lo = np.minimum(a, b)
-            hi = np.maximum(a, b)
-            out_u.append(lo)
-            out_v.append(hi)
-            out_h.append(ham[keep])
+            band = max(1, pair_chunk // (L - 1))
+            for a0 in range(0, L - 1, band):
+                ii = np.arange(a0, min(a0 + band, L - 1))
+                cnt = (L - 1) - ii
+                iu = np.repeat(ii, cnt)
+                row_starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+                kk = np.arange(int(cnt.sum()))
+                jv = iu + 1 + (kk - np.repeat(row_starts, cnt))
+                emit(seg_urls, seg_sh, iu, jv)
         if not out_u:
             return _EMPTY
         return pa.table(

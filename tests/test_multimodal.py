@@ -45,6 +45,51 @@ def test_decode_strict_raises():
         )
 
 
+def test_decode_corrupt_payloads_fall_back_not_crash():
+    """Non-strict decode must degrade to the fake decoder on CORRUPT
+    payloads carrying a real magic — the stdlib codecs raise
+    struct.error / zlib.error / wave.Error / RuntimeError on those,
+    not just ValueError, and one bad payload must never kill the whole
+    map_batches task."""
+    from dedup_ray.stages.multimodal import DecodeAudio
+
+    corrupt_images = [
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 4,  # truncated IHDR -> struct.error
+        b"\x89PNG\r\n\x1a\n"
+        + b"\x00\x00\x00\x0dIHDR"
+        + b"\x00\x00\x00\x08\x00\x00\x00\x08\x08\x02\x00\x00\x00"
+        + b"\x00" * 4
+        + b"\x00\x00\x00\x05IDATxxxxx"
+        + b"\x00" * 4,  # garbage DEFLATE -> zlib.error
+        b"\xff\xd8\xff\xe0" + b"\x00" * 6,  # torn JPEG
+        b"BM" + b"\x00" * 6,  # torn BMP
+    ]
+    out = DecodeImage(strict=False)(
+        pa.table(
+            {
+                "url": [f"img{i}" for i in range(len(corrupt_images))],
+                "payload": corrupt_images,
+            }
+        )
+    )
+    assert len(out) == len(corrupt_images)  # every row decoded (faked)
+
+    corrupt_audio = [
+        b"RIFF\x10\x00\x00\x00WAVEgarbagegarbage",  # RuntimeError
+        b"RIFF" + b"\x00" * 4,  # wave.Error
+    ]
+    out = DecodeAudio(strict=False)(
+        pa.table({"url": ["a", "b"], "payload": corrupt_audio})
+    )
+    assert len(out) == 2
+
+    # strict mode surfaces the real decode error instead of faking
+    with pytest.raises(Exception):
+        DecodeImage(strict=True)(
+            pa.table({"url": ["x"], "payload": [corrupt_images[0]]})
+        )
+
+
 def test_sample_frames():
     out = sample_frames(_media_ds(4), n_frames=4).to_pandas()
     assert set(out.columns) == {
