@@ -187,10 +187,11 @@ def oracle_sql() -> dict[str, str]:
             "embedding_dedup": emb.EMBEDDING_DEDUP_SQL,
         }
     )
-    try:
-        from dedup_ray.pipelines import neardup_queries as nq
+    # no ImportError guard: queries() imports this module
+    # unconditionally, so swallowing a failure here could only hide a
+    # real breakage by silently downgrading the affected queries to the
+    # weaker rows-only driver check
+    from dedup_ray.pipelines import neardup_queries as nq
 
-        sql.update(nq.ORACLE_SQL)
-    except ImportError:
-        pass
+    sql.update(nq.ORACLE_SQL)
     return sql

@@ -143,9 +143,11 @@ def predicted_pairs(assignments) -> set[Pair]:
 def recall_precision(
     true: set[Pair], pred: set[Pair]
 ) -> tuple[float, float, int, int]:
-    if not true:
-        return 1.0, 1.0, 0, len(pred)
     hit = len(true & pred)
-    recall = hit / len(true)
+    # no true pairs: recall is vacuously 1.0, but precision must still
+    # charge every predicted pair as a false positive — returning 1.0
+    # here would let a no-dup fixture pass while the engine emits
+    # garbage edges
+    recall = hit / len(true) if true else 1.0
     precision = hit / len(pred) if pred else 1.0
     return recall, precision, len(true), len(pred)

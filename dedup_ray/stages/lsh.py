@@ -128,70 +128,6 @@ _BUCKET_KEY_COLS = ["band_id", "band_hash"]
 _SALTED_KEY_COLS = ["band_id", "band_hash", "salt"]
 
 
-def find_hot_buckets(
-    band_rows: ray.data.Dataset, cfg: DedupConfig, *, num_partitions: int | None = None
-) -> tuple[dict[tuple[int, int], int], list[dict]]:
-    """Count bucket sizes (vectorized partition kernel); return
-    ({(band_id, band_hash): n_salts}, log).
-
-    The hot set is small by definition (buckets above cap), so
-    collecting it for broadcast is safe at any scale — the two-pass
-    skew strategy of SURVEY.md §4.  Every capped bucket is logged:
-    no silent truncation.
-    """
-    cap = cfg.bucket_cap
-    empty = pa.table(
-        {
-            "band_id": pa.array([], type=pa.int32()),
-            "band_hash": pa.array([], type=pa.int64()),
-            "n": pa.array([], type=pa.int64()),
-        }
-    )
-
-    def kernel(g: pa.Table) -> pa.Table:
-        k = numeric_key_u64(g, _BUCKET_KEY_COLS)
-        order = np.argsort(k, kind="stable")
-        starts, lens = segments(k[order])
-        hot = lens > cap
-        if not hot.any():
-            return empty
-        idx = order[starts[hot]]
-        return pa.table(
-            {
-                "band_id": g["band_id"].take(pa.array(idx)),
-                "band_hash": g["band_hash"].take(pa.array(idx)),
-                "n": pa.array(lens[hot], type=pa.int64()),
-            }
-        )
-
-    hot_tbl = partitioned_kernel(
-        band_rows,
-        lambda t: numeric_key_u64(t, _BUCKET_KEY_COLS),
-        kernel,
-        num_partitions=num_partitions or 64,
-        empty_result=empty,
-    )
-    hot: dict[tuple[int, int], int] = {}
-    log: list[dict] = []
-    for b in hot_tbl.iter_batches(batch_format="pyarrow", batch_size=65536):
-        if "band_id" not in b.column_names:
-            continue
-        for band_id, band_hash, n in zip(
-            b["band_id"].to_pylist(), b["band_hash"].to_pylist(), b["n"].to_pylist()
-        ):
-            n_salts = -(-n // cap)
-            hot[(band_id, band_hash)] = n_salts
-            log.append(
-                {
-                    "band_id": band_id,
-                    "band_hash": band_hash,
-                    "bucket_size": n,
-                    "n_salts": n_salts,
-                }
-            )
-    return hot, log
-
-
 class _Salter:
     """Broadcast-hot-set salting (fully numeric/vectorized now that
     rows carry doc_id instead of url)."""

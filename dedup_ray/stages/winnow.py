@@ -165,14 +165,37 @@ def anchor_candidate_pairs(
                 out_pu.append(ps_f[s + iu])
                 out_pv.append(ps_f[s + jv])
                 continue
-            # oversized bucket = a boilerplate gram: keep the linear
-            # star (candidate-count bound); a long TRUE shared run
-            # selects ~len/winnow_window fingerprints, so it gets
-            # len/w independent buckets as further chances
+            # oversized bucket = a boilerplate gram.  Verification is
+            # per-edge and NOT transitive, so a pure star misses a true
+            # pair whenever the min-id center shares only the gram (a
+            # decoy): keep the linear star AND add all-pairs within
+            # deterministic id-rank slices of STAR_THRESHOLD docs —
+            # bounded ~L*(S+1)/2 candidates total, catching same-slice
+            # true pairs directly.  A long TRUE run still selects
+            # ~len/winnow_window fingerprints (independent buckets as
+            # further chances); residual worst case (every selected
+            # gram boilerplate-hot AND the pair split across slices) is
+            # the price of a linear candidate bound, and it is LOGGED,
+            # never silent.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "substring anchor bucket of %d docs above STAR_THRESHOLD "
+                "%d: star + sliced all-pairs candidates", L, STAR_THRESHOLD,
+            )
             out_u.append(np.full(L - 1, is_f[s], dtype=np.int64))
             out_v.append(is_f[s + 1 : s + L])
             out_pu.append(np.full(L - 1, ps_f[s], dtype=np.int64))
             out_pv.append(ps_f[s + 1 : s + L])
+            for a0 in range(0, L - 1, STAR_THRESHOLD):
+                Lc = min(STAR_THRESHOLD, L - a0)
+                if Lc < 2:
+                    break
+                iu, jv = np.triu_indices(Lc, k=1)
+                out_u.append(is_f[s + a0 + iu])
+                out_v.append(is_f[s + a0 + jv])
+                out_pu.append(ps_f[s + a0 + iu])
+                out_pv.append(ps_f[s + a0 + jv])
         return pa.table(
             {
                 "u_id": pa.array(np.concatenate(out_u), type=pa.int64()),

@@ -91,12 +91,22 @@ class TokenHasher:
 
     __slots__ = ("_cache", "_seed")
 
+    #: cache reset threshold: the hasher lives in per-worker singletons
+    #: on long-lived workers streaming web-scale corpora, where distinct
+    #: tokens run to hundreds of millions — unbounded, the dict would
+    #: OOM the worker.  Zipf's law means the hot tokens repopulate
+    #: within a batch or two after a clear, keeping the hit rate; the
+    #: hash value itself never depends on cache state (determinism).
+    CACHE_MAX = 2_000_000
+
     def __init__(self, seed: int = 0) -> None:
         self._cache: dict[str, int] = {}
         self._seed = seed
 
     def hash_tokens(self, tokens: list[str]) -> np.ndarray:
         cache = self._cache
+        if len(cache) > self.CACHE_MAX:
+            cache.clear()
         seed = self._seed
         out = np.empty(len(tokens), dtype=np.uint64)
         for i, t in enumerate(tokens):

@@ -204,3 +204,72 @@ def test_decoy_center_does_not_kill_real_pair(ray_session):
         "https://ydoc/", "https://xdoc/") in pairs, pairs
     # and the decoy itself verified against nobody (shares < min_len)
     assert not any("decoy" in u or "decoy" in v for u, v in pairs), pairs
+
+
+def test_decoy_hot_bucket_same_slice_pair_found(ray_session):
+    """Buckets ABOVE STAR_THRESHOLD: the pure star routed every edge
+    through the min-id doc, so a decoy center killed real pairs whose
+    every selected gram was boilerplate-hot.  The sliced all-pairs
+    addition emits X-Y directly when they fall in the same id-rank
+    slice (the deterministic linear-cost recall repair; the residual
+    cross-slice case is logged)."""
+    import numpy as np
+    import ray.data
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.stages.winnow import STAR_THRESHOLD, substring_edges
+    from dedup_ray.util import char_rolling_hashes, hash_url, winnow_select
+
+    cfg = DedupConfig()
+    rng = np.random.Generator(np.random.PCG64(11))
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    blk = "".join(rng.choice(list(alpha), 300))
+    filler = lambda seed, n: "".join(
+        np.random.Generator(np.random.PCG64(seed)).choice(list(alpha), n))
+    x_text = filler(23, 400) + blk + filler(24, 400)
+    y_text = filler(25, 400) + blk + filler(26, 400)
+
+    def fps(text):
+        hs = char_rolling_hashes(text, cfg.winnow_gram)
+        sel = winnow_select(hs, cfg.winnow_window)
+        return {int(h): int(p) for h, p in zip(hs[sel], sel)}
+
+    fx, fy = fps(x_text), fps(y_text)
+    shared = set(fx) & set(fy)
+    assert shared
+    grams = [x_text[fx[h]:fx[h] + cfg.winnow_gram] for h in sorted(shared)]
+    n_decoys = 2 * STAR_THRESHOLD - 2  # 16 docs total: every bucket hot
+
+    def build(trial: int):
+        urls = [f"https://decoy{trial}-{i}/" for i in range(n_decoys)]
+        texts = [
+            filler(100 + i, 300)
+            + filler(200 + i, 100).join(grams)
+            + filler(300 + i, 300)
+            for i in range(n_decoys)
+        ]
+        xu, yu = f"https://xdoc{trial}/", f"https://ydoc{trial}/"
+        urls += [xu, yu]
+        texts += [x_text, y_text]
+        return urls, texts, xu, yu
+
+    for trial in range(200):
+        urls, texts, xu, yu = build(trial)
+        ids = np.array([np.int64(np.uint64(hash_url(u))) for u in urls])
+        order = np.argsort(ids, kind="stable")
+        pos = {urls[i]: p for p, i in enumerate(order)}
+        px, py = pos[xu], pos[yu]
+        # need: same slice, and the min-id center is a decoy
+        if px // STAR_THRESHOLD == py // STAR_THRESHOLD and 0 not in (px, py):
+            break
+    else:
+        raise AssertionError("no trial produced a same-slice layout")
+
+    t = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "priority": pa.array([0] * len(urls), pa.int64()),
+    })
+    edges = substring_edges(ray.data.from_arrow(t), cfg).to_pandas()
+    pairs = set(map(tuple, edges[["u", "v"]].itertuples(index=False)))
+    assert (xu, yu) in pairs or (yu, xu) in pairs, (xu, yu, pairs)
+    assert not any("decoy" in u or "decoy" in v for u, v in pairs), pairs
