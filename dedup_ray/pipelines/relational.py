@@ -584,12 +584,17 @@ GROUP BY event_type
 
 # ---------------------------------------------------------------- B21 3-way
 def _enrich_region(t: pa.Table, ref) -> pa.Table:
-    m = _worker_broadcast(ref)
-    names = [m.get(k) for k in t["c_nationkey"].to_pylist()]
+    # vectorized sorted-key probe (same pattern as _enrich_mktsegment);
+    # unmatched nation keys are DROPPED — the oracle is an inner join,
+    # so keeping them as r_name=NULL rows would emit an extra group
+    keys_s, names = _worker_broadcast(ref)
+    nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+    idx = np.minimum(np.searchsorted(keys_s, nk), max(len(keys_s) - 1, 0))
+    hit = (keys_s[idx] == nk) if len(keys_s) else np.zeros(len(nk), bool)
     return pa.table(
         {
-            "r_name": pa.array(names, type=pa.string()),
-            "c_acctbal": t["c_acctbal"],
+            "r_name": pa.array(names[idx[hit]], type=pa.string()),
+            "c_acctbal": t["c_acctbal"].filter(pa.array(hit)),
         }
     )
 
@@ -608,10 +613,10 @@ def customers_per_region(sf_dir: str) -> ray.data.Dataset:
     region = read_small_table(
         f"{sf_dir}/region.parquet", ["r_regionkey", "r_name"]
     ).to_pandas()
-    n2r = nation.merge(
-        region, left_on="n_regionkey", right_on="r_regionkey"
-    ).set_index("n_nationkey")["r_name"].to_dict()
-    ref = ray.put(n2r)
+    n2r = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    keys = n2r["n_nationkey"].to_numpy()
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], n2r["r_name"].to_numpy(dtype=object)[order]))
 
     customer = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
@@ -1080,9 +1085,16 @@ def distinct_users_by_type(sf_dir: str) -> ray.data.Dataset:
         et = g["event_type"].to_numpy(zero_copy_only=False)
         uid = g["user_id"].to_numpy(zero_copy_only=False)
         codes, inv = np.unique(et, return_inverse=True)
-        pair = inv.astype(np.int64) * (uid.max(initial=0) + 2) + uid
-        _, first = np.unique(pair, return_index=True)
-        types_u, counts = np.unique(inv[first], return_counts=True)
+        # pair-distinct via lexsorted boundary detection — an
+        # arithmetic composite (inv * (max_uid+2) + uid) collides for
+        # negative user_ids and wraps int64 for hash-sized ones,
+        # silently dropping distinct (type, user) pairs
+        order = np.lexsort((uid, inv))
+        inv_s, uid_s = inv[order], uid[order]
+        first = np.ones(len(inv_s), dtype=bool)
+        if len(inv_s) > 1:
+            first[1:] = (inv_s[1:] != inv_s[:-1]) | (uid_s[1:] != uid_s[:-1])
+        types_u, counts = np.unique(inv_s[first], return_counts=True)
         return pa.table(
             {
                 "event_type": pa.array(codes[types_u], type=pa.string()),
@@ -1556,7 +1568,12 @@ def tpch_q5_region_revenue(
         if not hit.any():
             return partial_empty
         sums = np.bincount(l_nat[hit], weights=l_rev[hit])
-        nz = np.flatnonzero(sums)
+        # emit every nation WITH MATCHES, not every nation with nonzero
+        # revenue — a nation whose matched revenue sums to exactly 0.0
+        # (all discounts 1.0) must still appear, as the SQL's inner
+        # join keeps it with revenue 0.00
+        hits_per_nat = np.bincount(l_nat[hit])
+        nz = np.flatnonzero(hits_per_nat)
         return pa.table(
             {
                 "nat": pa.array(nz, type=pa.int64()),
@@ -1725,15 +1742,19 @@ def orders_rollup(sf_dir: str) -> ray.data.Dataset:
     )
 
     def partial(t: pa.Table) -> pa.Table:
+        # n must be count(*) (the SQL counts null-price rows too), and
+        # the non-null price count rides along so an all-null-price
+        # group can emit sum_price NULL like SQL's sum()
         g = t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
-            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+            [("o_totalprice", "sum"), ("o_totalprice", "count"), ([], "count_all")]
         )
         return pa.table(
             {
                 "o_orderstatus": g["o_orderstatus"],
                 "o_orderpriority": g["o_orderpriority"],
                 "price_sum": g["o_totalprice_sum"],
-                "n_part": g["o_totalprice_count"],
+                "np_part": g["o_totalprice_count"],
+                "n_part": g["count_all"],
             }
         )
 
@@ -1754,27 +1775,34 @@ def orders_rollup(sf_dir: str) -> ray.data.Dataset:
 
     def rollup(g: pa.Table) -> pa.Table:
         # combine the per-batch partials, then derive the rollup levels
-        # from the <= |status| x |priority| fine rows — one typed block
+        # from the <= |status| x |priority| fine rows — one typed block.
+        # Null keys form their own group (like SQL's GROUP BY) and
+        # every level's labels go through the same coalesce(x, 'ALL')
+        # the oracle applies; an all-null-price group emits sum NULL.
         fine = g.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
-            [("price_sum", "sum"), ("n_part", "sum")]
+            [("price_sum", "sum"), ("np_part", "sum"), ("n_part", "sum")]
         )
         status = np.array(fine["o_orderstatus"].to_pylist(), dtype=object)
         prio = np.array(fine["o_orderpriority"].to_pylist(), dtype=object)
         sums = fine["price_sum_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sums = np.nan_to_num(sums)  # null partial sums contribute 0
+        nps = fine["np_part_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
         ns = fine["n_part_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
-        out_s = list(status)
-        out_p = list(prio)
-        out_sum = list(sums)
+        coal = lambda x: "ALL" if x is None else x
+
+        out_s = [coal(s) for s in status]
+        out_p = [coal(p) for p in prio]
+        out_sum = [float(v) if k else None for v, k in zip(sums, nps)]
         out_n = list(ns)
-        for s in sorted(set(status)):
-            m = status == s
-            out_s.append(s)
+        for s in sorted(set(status), key=lambda x: (x is None, x)):
+            m = np.array([x == s for x in status], dtype=bool)
+            out_s.append(coal(s))
             out_p.append("ALL")
-            out_sum.append(float(sums[m].sum()))
+            out_sum.append(float(sums[m].sum()) if nps[m].sum() else None)
             out_n.append(int(ns[m].sum()))
         out_s.append("ALL")
         out_p.append("ALL")
-        out_sum.append(float(sums.sum()))
+        out_sum.append(float(sums.sum()) if nps.sum() else None)
         out_n.append(int(ns.sum()))
         return pa.table(
             {

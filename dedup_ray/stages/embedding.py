@@ -68,11 +68,26 @@ def _embedding_dim(sf_dir: str) -> int:
 
 
 def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, row-aligned float64 matrix) for a batch.  NULL
+    embedding rows are DROPPED with their ids: Arrow's flatten() skips
+    null slots, so inferring dim as len(flat)//len(t) with a null
+    present either crashes the reshape or — when the counts happen to
+    divide — silently misassociates every following vector with the
+    wrong vec_id.  Dropping matches the SQL oracles, where
+    list_cosine_similarity(NULL, q) is NULL and never ranks."""
+    import pyarrow.compute as pc
+
     ids = t["vec_id"].to_numpy(zero_copy_only=False)
     emb = t["embedding"].combine_chunks()
+    if emb.null_count:
+        valid = pc.is_valid(emb)
+        emb = emb.filter(valid)
+        ids = ids[valid.to_numpy(zero_copy_only=False)]
+    n = len(emb)
     flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    dim = len(flat) // max(len(t), 1)
-    return ids, flat.reshape(len(t), dim)
+    if n == 0:
+        return ids, np.empty((0, 1), dtype=np.float64)
+    return ids, flat.reshape(n, len(flat) // n)
 
 
 def _collect_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
@@ -212,11 +227,19 @@ def cosine_topk(
 
 
 COSINE_TOPK_SQL = """
-WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+-- null semantics STATED: rows with a NULL embedding carry no vector
+-- and are excluded on both sides (the engine drops null rows
+-- identically).  MATERIALIZED is required: DuckDB otherwise inlines
+-- the CTE and evaluates list_cosine_similarity (which ERRORS on NULL
+-- lists) before the null filter.
+WITH nn AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+),
+q AS (SELECT vec_id, embedding FROM nn WHERE vec_id < 3),
 scored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          list_cosine_similarity(e.embedding, q.embedding) AS c
-  FROM embeddings e, q WHERE e.vec_id <> q.vec_id
+  FROM nn e, q WHERE e.vec_id <> q.vec_id
 ), ranked AS (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
@@ -267,8 +290,14 @@ def cosine_near_pairs(sf_dir: str, *, threshold: float = 0.35) -> ray.data.Datas
 
 
 COSINE_NEAR_PAIRS_SQL = """
+-- null embeddings carry no vector: excluded on both sides (stated
+-- null semantics; engine drops null rows identically).  MATERIALIZED:
+-- see COSINE_TOPK_SQL.
+WITH nn AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM embeddings a, embeddings b
+FROM nn a, nn b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
 """
@@ -769,9 +798,15 @@ def embedding_dedup(
 #: connected components in ANSI SQL: recursive transitive closure over
 #: the thresholded similarity graph, then min reachable id per node
 EMBEDDING_DEDUP_SQL = """
-WITH RECURSIVE e AS (
+-- null embeddings form no edges (stated null semantics; engine drops
+-- them from the pair matrix identically) but still seed themselves as
+-- singleton clusters below, like the engine's vec_id member scan.
+-- MATERIALIZED: see COSINE_TOPK_SQL.
+WITH RECURSIVE nn AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+), e AS (
   SELECT a.vec_id AS a, b.vec_id AS b
-  FROM embeddings a, embeddings b
+  FROM nn a, nn b
   WHERE a.vec_id < b.vec_id
     AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
 ), reach(a, b) AS (
