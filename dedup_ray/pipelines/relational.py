@@ -304,9 +304,19 @@ GROUP BY c_mktsegment
 # ---------------------------------------------------------------- B19
 def sort_limit_orders(sf_dir: str) -> ray.data.Dataset:
     """Top-10 orders by totalprice (desc), deterministic tie-break on
-    o_orderkey.  Distributed sort + limit (Ray range-partitions)."""
+    o_orderkey.  Distributed sort + limit (Ray range-partitions).
+
+    Null semantics STATED in the SQL: rows with null o_totalprice are
+    excluded (Ray's sort and DuckDB's ORDER BY ... DESC place nulls
+    differently, so a top-k over a null-carrying key would diverge —
+    found by the null-fuzzing parity sweep).  The filter rides the
+    scan as a row-group predicate."""
+    import pyarrow.dataset as pads
+
     ds = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"],
+        filter=pads.field("o_totalprice").is_valid(),
     )
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
@@ -314,6 +324,7 @@ def sort_limit_orders(sf_dir: str) -> ray.data.Dataset:
 SORT_LIMIT_ORDERS_SQL = """
 SELECT o_orderkey, o_totalprice
 FROM orders
+WHERE o_totalprice IS NOT NULL
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 10
 """

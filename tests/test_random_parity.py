@@ -101,3 +101,52 @@ def test_randomized_oracle_parity(ray_session, tmp_path):
             bad.append((name, str(e)[:200]))
     con.close()
     assert not bad, bad
+
+
+def _nullify(d: str, rng) -> None:
+    """Inject ~8% nulls into every nullable column of the generated
+    tables — the adversarial class behind the round-5 parity fixes
+    (null sort keys, null group keys, null aggregates)."""
+    for fname, cols in [
+        ("events.parquet", ["event_type", "user_id", "value", "ts"]),
+        ("orders.parquet", ["o_orderstatus", "o_totalprice", "o_orderpriority"]),
+        ("customer.parquet", ["c_mktsegment"]),
+        ("documents.parquet", ["text", "lang"]),
+    ]:
+        t = pq.read_table(f"{d}/{fname}")
+        arrs = {}
+        for name in t.column_names:
+            col = t[name]
+            if name in cols and len(t):
+                mask = rng.random(len(t)) < 0.08
+                vals = col.to_pylist()
+                for i in np.flatnonzero(mask):
+                    vals[i] = None
+                col = pa.array(vals, type=t.schema.field(name).type)
+            arrs[name] = col
+        pq.write_table(pa.table(arrs), f"{d}/{fname}")
+
+
+@pytest.mark.slow
+def test_null_fuzzed_oracle_parity(ray_session, tmp_path):
+    """Seed 12 caught sort_limit_orders diverging on null o_totalprice
+    (Ray's sort vs DuckDB's NULLS LAST); seeds 11-18 ran clean after
+    the fix.  Seed 12 pinned."""
+    d = str(tmp_path / "nullsf")
+    _gen(d, seed=12)
+    _nullify(d, np.random.default_rng(12))
+    con = duckdb.connect()
+    for t in ("events", "orders", "customer", "documents"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+    qs, osql = m.queries(), m.oracle_sql()
+    bad = []
+    for name in QUERIES:
+        got = qs[name](d)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        want = con.sql(osql[name]).df()
+        try:
+            pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+        except AssertionError as e:
+            bad.append((name, str(e)[:200]))
+    con.close()
+    assert not bad, bad
