@@ -81,7 +81,9 @@ def grouped_agg_q1(sf_dir: str) -> ray.data.Dataset:
                 ("l_quantity", "sum"),
                 ("l_extendedprice", "sum"),
                 ("disc_price", "sum"),
-                ("l_quantity", "count"),
+                # count(*) semantics: a null l_quantity row still counts
+                # toward count_order / the avg_qty denominator
+                ([], "count_all"),
             ]
         )
         # select by the names pyarrow assigns ("<col>_<agg>"), not by
@@ -94,7 +96,7 @@ def grouped_agg_q1(sf_dir: str) -> ray.data.Dataset:
                 "l_quantity_sum": g["l_quantity_sum"],
                 "l_extendedprice_sum": g["l_extendedprice_sum"],
                 "disc_price_sum": g["disc_price_sum"],
-                "n": g["l_quantity_count"],
+                "n": g["count_all"],
             }
         )
 
@@ -703,8 +705,16 @@ def top2_orders_per_customer(sf_dir: str) -> ray.data.Dataset:
 
     def kernel(g: pa.Table) -> pa.Table:
         cust = g["o_custkey"].to_numpy(zero_copy_only=False)
+        if cust.dtype.kind == "f":
+            # null custkeys degrade the column to float64+NaN; SQL's
+            # PARTITION BY puts every NULL in ONE partition, while
+            # NaN != NaN would make each its own segment — map to +inf
+            # so they sort (and segment) as a single trailing group
+            cust = np.where(np.isnan(cust), np.inf, cust)
         okey = g["o_orderkey"].to_numpy(zero_copy_only=False)
         price = g["o_totalprice"].to_numpy(zero_copy_only=False)
+        # -NaN == NaN sorts last within a partition == DuckDB's default
+        # NULLS LAST under ORDER BY ... DESC
         order = np.lexsort((okey, -price, cust))
         cs = cust[order]
         starts, lens = segments(cs)
@@ -721,9 +731,21 @@ def top2_orders_per_customer(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    def key_hash(t: pa.Table) -> np.ndarray:
+        arr = t["o_custkey"].to_numpy(zero_copy_only=False)
+        if arr.dtype.kind == "f":
+            # all NULL custkeys must land in the SAME partition (they
+            # form one window partition); NaN.astype(uint64) is
+            # platform-undefined garbage that would scatter them
+            nan = np.isnan(arr)
+            out = np.where(nan, 0.0, arr).astype(np.int64).view(np.uint64)
+            out[nan] = np.uint64(0x517CC1B727220A95)
+            return out
+        return arr.astype(np.int64).view(np.uint64)
+
     return partitioned_kernel(
         ds,
-        lambda t: t["o_custkey"].to_numpy(zero_copy_only=False).astype("uint64"),
+        key_hash,
         kernel,
         num_partitions=64,
         empty_result=empty,
@@ -1266,7 +1288,16 @@ def tpch_q3_shipping(
     lines = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
-        filter=pc.field("l_shipdate") > pa.scalar(cutoff),
+        # null semantics STATED in the oracle SQL: revenue is defined
+        # over fully-valued (price, discount) lines — a null measure
+        # would NaN-poison the partition bincount where SQL's sum just
+        # skips it; excluding them at the scan keeps the sums exact
+        # and prunes dead rows before the exchange
+        filter=(
+            (pc.field("l_shipdate") > pa.scalar(cutoff))
+            & pc.field("l_extendedprice").is_valid()
+            & pc.field("l_discount").is_valid()
+        ),
     ).map_batches(lineitem_side, batch_format="pyarrow", zero_copy_batch=True)
 
     empty = pa.table(
@@ -1334,6 +1365,7 @@ JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1995-03-15'
   AND l_shipdate  > TIMESTAMP '1995-03-15'
+  AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
 GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
@@ -1380,8 +1412,25 @@ def tpch_q5_region_revenue(
     nat = nation[nation["n_regionkey"].isin(asia)]
     nat_keys = nat["n_nationkey"].to_numpy(dtype=np.int64)
     nat_names = {int(k): str(v) for k, v in zip(nat_keys, nat["n_name"])}
-    in_region = np.zeros(int(nation["n_nationkey"].max()) + 1, dtype=bool)
+    in_region = np.zeros(
+        (int(nation["n_nationkey"].max()) + 1) if len(nation) else 1, dtype=bool
+    )
     in_region[nat_keys] = True
+
+    def _region_keep(nats: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Inner-join semantics for the nation lookup: a null or
+        unknown (out-of-table) nationkey matches no nation — mask it
+        out instead of indexing past the dense lookup's bounds."""
+        if nats.dtype.kind == "f":
+            valid = np.isfinite(nats)
+            nats_i = np.where(valid, nats, 0).astype(np.int64)
+        else:
+            valid = np.ones(len(nats), dtype=bool)
+            nats_i = nats.astype(np.int64, copy=False)
+        inb = valid & (nats_i >= 0) & (nats_i < len(in_region))
+        keep = np.zeros(len(nats), dtype=bool)
+        keep[inb] = in_region[nats_i[inb]]
+        return keep, nats_i
 
     cap = BROADCAST_BUILD_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
     small_build = (
@@ -1401,6 +1450,12 @@ def tpch_q5_region_revenue(
     lines_raw = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        # null semantics STATED in the oracle SQL: revenue is defined
+        # over fully-valued (price, discount) lines (see tpch_q3)
+        filter=(
+            pc.field("l_extendedprice").is_valid()
+            & pc.field("l_discount").is_valid()
+        ),
     )
 
     def _line_rev(t: pa.Table) -> pa.Table:
@@ -1418,9 +1473,9 @@ def tpch_q5_region_revenue(
     if small_build:
 
         def _probe(keys_col, nats_col, df):
+            df = df.dropna(subset=[keys_col, nats_col])
             keys = df[keys_col].to_numpy(dtype=np.int64)
-            nats = df[nats_col].to_numpy(dtype=np.int64)
-            keep = in_region[nats]
+            keep, nats = _region_keep(df[nats_col].to_numpy())
             keys, nats = keys[keep], nats[keep]
             order = np.argsort(keys)
             return keys[order], nats[order]
@@ -1484,8 +1539,10 @@ def tpch_q5_region_revenue(
 
         def _dim_nat(key_col, nat_col):
             def f(t: pa.Table) -> pa.Table:
-                nats = t[nat_col].to_numpy(zero_copy_only=False).astype(np.int64)
-                keep = in_region[nats]
+                t = t.filter(pc.is_valid(t[key_col]))
+                keep, nats = _region_keep(
+                    t[nat_col].to_numpy(zero_copy_only=False)
+                )
                 return pa.table(
                     {
                         key_col: t[key_col].filter(pa.array(keep)),
@@ -1633,6 +1690,7 @@ WHERE c_custkey = o_custkey
   AND r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1995-01-01'
   AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """

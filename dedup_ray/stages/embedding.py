@@ -126,6 +126,10 @@ def cosine_topk(
         columns=["vec_id", "embedding"],
         filter=_pc.field("vec_id") < n_queries,
     ).take_all()
+    # a NULL embedding carries no vector: drop it from the query set
+    # too (the oracle's q CTE selects from the null-filtered nn) — a
+    # None row would otherwise vstack as a width-1 NaN and crash
+    q_tbl = [r for r in q_tbl if r["embedding"] is not None]
     if not q_tbl:
         # no vec_id < n_queries in this corpus (ids can start anywhere)
         # — the query set, and so the result, is empty

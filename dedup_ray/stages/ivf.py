@@ -157,6 +157,9 @@ def ivf_topk(
         columns=["vec_id", "embedding"],
         filter=pc.field("vec_id") < n_queries,
     ).take_all()
+    # NULL embeddings drop from the query set as well as the corpus
+    # (the oracle's q CTE selects from the null-filtered nn)
+    q_rows = [r for r in q_rows if r["embedding"] is not None]
     if not q_rows:
         # no vec_id < n_queries in this corpus: the SQL contract's
         # query set is empty, so the result is too
