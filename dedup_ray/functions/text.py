@@ -17,6 +17,25 @@ from dedup_ray.functions.scalar import sql_round
 from dedup_ray.sources.pages import documents_as_pages
 from dedup_ray.util import char_rolling_hashes, winnow_select
 
+#: typed empty in the documents_as_pages schema.  Applying a map-only
+#: query's pure-arrow batch UDF to this yields the query's typed empty
+#: OUTPUT — the empty-corpus short-circuit, because Ray 2.49's 0-row
+#: blocks bypass map_batches and would return a schema-less dataset.
+_EMPTY_PAGES = pa.table(
+    {
+        "url": pa.array([], pa.string()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "priority": pa.array([], pa.int64()),
+    }
+)
+
+
+def _documents_empty(sf_dir: str) -> bool:
+    from dedup_ray.core import parquet_num_rows
+
+    return parquet_num_rows(f"{sf_dir}/documents.parquet") == 0
+
 
 def token_count(sf_dir: str) -> ray.data.Dataset:
     """Whitespace token count per doc.  Definition chosen to equal
@@ -33,6 +52,8 @@ def token_count(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    if _documents_empty(sf_dir):
+        return ray.data.from_arrow(f(_EMPTY_PAGES))
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -75,6 +96,8 @@ def quality_score(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    if _documents_empty(sf_dir):
+        return ray.data.from_arrow(f(_EMPTY_PAGES))
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -229,6 +252,8 @@ def redact_text(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    if _documents_empty(sf_dir):
+        return ray.data.from_arrow(f(_EMPTY_PAGES))
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -369,6 +394,8 @@ def repetition_stats(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    if _documents_empty(sf_dir):
+        return ray.data.from_arrow(f(_EMPTY_PAGES))
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -427,6 +454,8 @@ def quality_filter_verdicts(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    if _documents_empty(sf_dir):
+        return ray.data.from_arrow(f(_EMPTY_PAGES))
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 

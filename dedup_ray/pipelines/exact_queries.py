@@ -20,9 +20,28 @@ def _hashed_documents(sf_dir: str) -> ray.data.Dataset:
     return add_content_sha256(documents_as_pages(sf_dir))
 
 
+_EXACT_DEDUP_EMPTY = pa.table(
+    {
+        "url": pa.array([], pa.string()),
+        "content_sha256": pa.array([], pa.string()),
+        "is_canonical": pa.array([], pa.bool_()),
+    }
+)
+
+
+def _documents_empty(sf_dir: str) -> bool:
+    from dedup_ray.core import parquet_num_rows
+
+    return parquet_num_rows(f"{sf_dir}/documents.parquet") == 0
+
+
 def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     """Winner/loser verdict per document — ref A6+A7: group by SHA-256,
     exactly one canonical row per group by min (priority, url)."""
+    if _documents_empty(sf_dir):
+        # 0-row blocks bypass the final projection map and would strip
+        # the typed-empty schema the exchange preserved
+        return ray.data.from_arrow(_EXACT_DEDUP_EMPTY)
     out = exact_dedup_groups(_hashed_documents(sf_dir))
     return out.map_batches(
         lambda t: pa.table(
@@ -61,9 +80,11 @@ WITH h AS (
   SELECT *, row_number() OVER (PARTITION BY sha ORDER BY url) AS rn FROM h
 )
 SELECT cast(count(*) AS bigint)                                  AS n_pages,
-       cast(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS bigint)   AS n_distinct_hashes,
-       cast(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS bigint)   AS n_dup_pages,
-       cast(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS bigint) AS reclaimable_chars
+       cast(coalesce(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0) AS bigint)   AS n_distinct_hashes,
+       cast(coalesce(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END), 0) AS bigint)   AS n_dup_pages,
+       cast(coalesce(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END), 0) AS bigint) AS reclaimable_chars
+-- the coalesce states the empty-corpus semantics: a stats report over
+-- zero pages is all-zero counts, not NULLs (SQL sum over no rows)
 FROM w
 """
 
@@ -97,6 +118,15 @@ COUNT_BY_LANG_SQL = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
 
 def topk_largest_clusters(sf_dir: str) -> ray.data.Dataset:
     """Top-10 exact-hash groups by size (SURVEY B19), deterministic."""
+    if _documents_empty(sf_dir):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "content_sha256": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        )
     out = topk_largest_groups(_hashed_documents(sf_dir), k=10)
     return out.map_batches(
         lambda t: pa.table(

@@ -297,6 +297,12 @@ def dedup_full_exact_layer(sf_dir: str) -> ray.data.Dataset:
     rows-only dedup_full a bit-exact anchor.  (The synthetic documents
     table has no byte-identical dups, so the planted-duplicate case is
     pinned by tests/test_exact_layer_crosscheck.py.)"""
+    from dedup_ray.core import parquet_num_rows
+
+    if parquet_num_rows(f"{sf_dir}/documents.parquet") == 0:
+        # empty-corpus short-circuit: 0-row blocks bypass the verdict
+        # map and would strip the flagship's typed-empty schema
+        return ray.data.from_arrow(_EXACT_LAYER_EMPTY)
     out = flagship_assignments(sf_dir, DEFAULT_CONFIG, substring_pass=True)
 
     def verdict(t: pa.Table) -> pa.Table:

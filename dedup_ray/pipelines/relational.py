@@ -388,6 +388,26 @@ def scalar_functions(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    from dedup_ray.core import parquet_num_rows
+
+    if parquet_num_rows(f"{sf_dir}/lineitem.parquet") == 0:
+        # empty-corpus short-circuit: 0-row blocks bypass map_batches,
+        # so the typed output schema must come from applying the UDF to
+        # a typed empty input locally
+        return ray.data.from_arrow(
+            fns(
+                pa.table(
+                    {
+                        "l_orderkey": pa.array([], pa.int64()),
+                        "l_linenumber": pa.array([], pa.int32()),
+                        "l_returnflag": pa.array([], pa.string()),
+                        "l_shipdate": pa.array([], pa.timestamp("us")),
+                        "l_extendedprice": pa.array([], pa.float64()),
+                        "l_discount": pa.array([], pa.float64()),
+                    }
+                )
+            )
+        )
     return ds.map_batches(fns, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -411,8 +431,15 @@ def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_totalprice"],
-        # price predicate pushed into the scan (row-group pruning)
-        filter=pc.field("o_totalprice") > 250000.0,
+        # price predicate pushed into the scan (row-group pruning).
+        # Null semantics STATED in the oracle SQL: the exclusion set is
+        # the NON-NULL custkeys — a bare SQL NOT IN over a null-bearing
+        # subquery returns UNKNOWN for every row (zero customers),
+        # which is never the verdict a droplist pipeline wants
+        filter=(
+            (pc.field("o_totalprice") > 250000.0)
+            & pc.field("o_custkey").is_valid()
+        ),
     ).map_batches(
         lambda t: t.select(["o_custkey"]),
         batch_format="pyarrow",
@@ -444,6 +471,18 @@ def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
         )
         return t.filter(pa.array(~have))
 
+    from dedup_ray.core import parquet_num_rows
+
+    if parquet_num_rows(f"{sf_dir}/customer.parquet") == 0:
+        # empty-corpus short-circuit (0-row blocks bypass map_batches)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "c_name": pa.array([], pa.string()),
+                }
+            )
+        )
     return customer.map_batches(
         anti_join,
         batch_format="pyarrow",
@@ -454,7 +493,9 @@ def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
 SELECT c_custkey, c_name
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_totalprice > 250000
+                          AND o_custkey IS NOT NULL)
 """
 
 
@@ -1335,24 +1376,44 @@ def tpch_q3_shipping(
         sums = np.bincount(inv, weights=lr, minlength=len(uk))
         first = np.zeros(len(uk), dtype=np.int64)
         first[inv[::-1]] = np.arange(len(lk) - 1, -1, -1)
+        rev = sql_round(pa.array(sums, type=pa.float64()), 2)
+        dates = ld[first]
+        # an orderkey lives in exactly ONE partition, so this
+        # partition's top-10 under the query's total order (rounded
+        # revenue desc, date, key) is a complete candidate set — only
+        # <= 10 rows per partition reach the global merge, replacing a
+        # full Ray range-sort of every qualifying order (and Ray 2.49's
+        # sort strips the schema off an all-empty sorted dataset)
+        top = np.lexsort((uk, dates, -rev.to_numpy(zero_copy_only=False)))[:10]
+        idx = pa.array(top)
         return pa.table(
             {
-                "l_orderkey": pa.array(uk, type=pa.int64()),
-                "revenue": sql_round(pa.array(sums, type=pa.float64()), 2),
-                "o_orderdate": pa.array(ld[first]).cast(pa.timestamp("us")),
+                "l_orderkey": pa.array(uk, type=pa.int64()).take(idx),
+                "revenue": rev.take(idx),
+                "o_orderdate": pa.array(dates).cast(pa.timestamp("us")).take(idx),
             }
         )
 
-    per_order = partitioned_kernel(
+    candidates = partitioned_kernel(
         orders.union(lines),
         lambda t: numeric_key_u64(t, ["okey"]),
         kernel,
         num_partitions=64,
         empty_result=empty,
     )
-    return per_order.sort(
-        ["revenue", "o_orderdate", "l_orderkey"], descending=[True, False, False]
-    ).limit(10)
+
+    def final_top10(g: pa.Table) -> pa.Table:
+        return g.sort_by(
+            [
+                ("revenue", "descending"),
+                ("o_orderdate", "ascending"),
+                ("l_orderkey", "ascending"),
+            ]
+        ).slice(0, 10)
+
+    from dedup_ray.core import global_kernel
+
+    return global_kernel(candidates, final_top10, empty_result=empty)
 
 
 TPCH_Q3_SHIPPING_SQL = """

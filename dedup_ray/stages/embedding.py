@@ -99,10 +99,14 @@ def _collect_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
         batch_format="pyarrow", batch_size=65536
     ):
         i, m = _batch_matrix(b)
+        if len(m) == 0:
+            # an all-null batch yields a width-1 empty whose width
+            # would poison the vstack against real (n, dim) blocks
+            continue
         ids_list.append(i)
         mats.append(m)
     if not mats:
-        # zero-row table: np.vstack([]) would raise
+        # zero-row (or all-null) table: np.vstack([]) would raise
         return np.empty(0, dtype=np.int64), np.empty((0, 1), dtype=np.float64)
     return np.concatenate(ids_list), np.vstack(mats)
 
@@ -153,6 +157,15 @@ def cosine_topk(
     def partial_topk(t: pa.Table, *, ref, k: int) -> pa.Table:
         q_ids, qmat, qz = _worker_obj(ref)
         ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            # all-null batch: its (0, 1) matrix cannot meet qmat's width
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "cos": pa.array([], type=pa.float64()),
+                }
+            )
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         bzero = (norms == 0).ravel()
         norms[bzero] = 1.0
@@ -257,6 +270,17 @@ def cosine_near_pairs(sf_dir: str, *, threshold: float = 0.35) -> ray.data.Datas
     """All pairs (a < b) with cosine >= threshold — broadcast full
     matrix, per-batch matmul row-block vs everything."""
     all_ids, all_m = _collect_matrix(sf_dir)
+    if len(all_ids) == 0:
+        # empty / all-null embeddings table: no vectors, no pairs —
+        # and 0-row blocks would bypass pair_finder, losing its schema
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                }
+            )
+        )
     norms = np.linalg.norm(all_m, axis=1, keepdims=True)
     all_zero = (norms == 0).ravel()
     norms[all_zero] = 1.0
@@ -266,6 +290,14 @@ def cosine_near_pairs(sf_dir: str, *, threshold: float = 0.35) -> ray.data.Datas
     def pair_finder(t: pa.Table, *, r, th: float) -> pa.Table:
         all_ids2, all_m2, az = _worker_obj(r)
         ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            # all-null batch: (0, 1) matrix cannot meet the corpus width
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                }
+            )
         nn = np.linalg.norm(m, axis=1, keepdims=True)
         bzero = (nn == 0).ravel()
         nn[bzero] = 1.0
@@ -425,6 +457,15 @@ def ann_lsh_pairs(
         payload never rides the n_tables-amplified shuffle."""
         planes_w = _worker_obj(r)
         ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            # all-null batch: (0, 1) matrix cannot meet the plane width
+            return pa.table(
+                {
+                    "tbl": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                }
+            )
         tbls, bks, oids = [], [], []
         weights = (1 << np.arange(n_bits)).astype(np.int64)
         for ti in range(n_tables):
@@ -472,6 +513,10 @@ def ann_lsh_pairs(
         if "vec_id" not in t.column_names or len(t) == 0:
             return tall_empty
         ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            # all-null batch: (0, 1) binary rows would mis-advertise the
+            # vector width to the partition kernel's decoder
+            return tall_empty
         nrm = np.linalg.norm(m, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
         m = np.ascontiguousarray(m / nrm)

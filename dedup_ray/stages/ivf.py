@@ -103,7 +103,11 @@ def train_codebook(
             mats.append(m)
             id_chunks.append(ids)
     if not mats or sum(len(m) for m in mats) == 0:
-        raise ValueError("cannot train an IVF codebook on an empty embeddings table")
+        # no valid vectors at all (empty or all-null table): there are
+        # no lists and no neighbors — callers early-return their typed
+        # empty results on a zero-row codebook instead of crashing a
+        # pipeline over a degenerate shard
+        return np.empty((0, 1), dtype=np.float64)
     x = np.vstack([m for m in mats if len(m)])
     id_chunks = [i for i in id_chunks if len(i)]
     # batches arrive in block order, which varies with session
@@ -149,6 +153,9 @@ def ivf_topk(
     import pyarrow.compute as pc
 
     cent = train_codebook(sf_dir, n_lists=n_lists, seed=seed)
+    if len(cent) == 0:
+        # empty / all-null embeddings table: no vectors, no neighbors
+        return ray.data.from_arrow(_TOPK_OUT_EMPTY)
     c_ref = ray.put(cent)
 
     # queries: predicate pushed into the read; tiny
@@ -184,6 +191,16 @@ def ivf_topk(
         from dedup_ray.util import u64_matrix_to_binary
 
         ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            # all-null batch: (0, 1) matrix cannot meet the codebook width
+            return pa.table(
+                {
+                    "gkey": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "is_query": pa.array([], type=pa.int32()),
+                    "vec": pa.array([], type=pa.binary()),
+                }
+            )
         nn = np.linalg.norm(m, axis=1, keepdims=True)
         nn[nn == 0] = 1.0
         m = np.ascontiguousarray(m / nn)
@@ -382,6 +399,9 @@ def ivf_near_pairs(
     from dedup_ray.stages.embedding import _segment_pairs_capped
 
     cent = train_codebook(sf_dir, n_lists=n_lists, seed=seed)
+    if len(cent) == 0:
+        # empty / all-null embeddings table: no vectors, no pairs
+        return ray.data.from_arrow(_PAIRS_EMPTY)
     n_probe = min(n_probe, len(cent))
     dim = cent.shape[1]
     c_ref = ray.put(cent)
@@ -390,6 +410,15 @@ def ivf_near_pairs(
         from dedup_ray.util import u64_matrix_to_binary
 
         ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            # all-null batch: (0, 1) matrix cannot meet the codebook width
+            return pa.table(
+                {
+                    "gkey": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "vec": pa.array([], type=pa.binary()),
+                }
+            )
         nn = np.linalg.norm(m, axis=1, keepdims=True)
         nn[nn == 0] = 1.0
         m = np.ascontiguousarray(m / nn)

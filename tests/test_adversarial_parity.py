@@ -152,3 +152,44 @@ def test_null_embedding_row_dropped(ray_session, tmp_path):
     _check("embedding_near_pairs", d, con)
     _check("embedding_dedup", d, con)  # null rows stay singleton clusters
     con.close()
+
+
+def test_null_custkey_anti_join(ray_session, tmp_path):
+    """A null o_custkey inside the exclusion subquery made SQL's bare
+    NOT IN return UNKNOWN for every customer (zero rows) while the
+    engine ignored the null — semantics now STATED in the SQL
+    (o_custkey IS NOT NULL) and pushed into the engine's scan."""
+    d = str(tmp_path)
+    n = 3
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([1, None, 2], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n, pa.string()),
+                "o_totalprice": pa.array([300000.0] * n, pa.float64()),
+                "o_orderdate": pa.array(
+                    (np.arange(n) * 86_400_000_000).astype("datetime64[us]")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+            }
+        ),
+        f"{d}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "c_name": pa.array([f"C{i}" for i in range(4)], pa.string()),
+                "c_nationkey": pa.array([0] * 4, pa.int32()),
+                "c_acctbal": pa.array([0.0] * 4, pa.float64()),
+                "c_mktsegment": pa.array(["A"] * 4, pa.string()),
+            }
+        ),
+        f"{d}/customer.parquet",
+    )
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+    _check("customers_without_orders", d, con)
+    con.close()

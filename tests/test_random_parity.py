@@ -224,7 +224,8 @@ def _gen_full(d, seed):
         "o_orderstatus": _null(rng, rng.choice(["O", "F", "P"], n_o),
                                0.08, pa.string()),
         "o_totalprice": _null(
-            rng, rng.integers(1, 20, n_o).astype(np.float64) * 100.0,
+            rng, rng.integers(1, 20, n_o).astype(np.float64)
+            * rng.choice([100.0, 20000.0], n_o),
             0.08, pa.float64()),
         "o_orderdate": _null(rng, list(odate), 0.08, pa.timestamp("us")),
         "o_orderpriority": _null(
