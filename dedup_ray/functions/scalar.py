@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def sql_round(arr, ndigits: int = 2) -> pa.Array:
@@ -20,4 +21,15 @@ def sql_round(arr, ndigits: int = 2) -> pa.Array:
     m = 10.0 ** ndigits
     y = np.abs(x) * m
     out = np.copysign(np.floor(y + 0.5), x) / m
+    if isinstance(arr, pa.Array):
+        # null iff the INPUT was null: from_pandas=True would also turn
+        # a genuine NaN VALUE into null, where DuckDB's round(NaN) is
+        # NaN (NaN-carrying floats are legal web data; found by the
+        # NaN/inf parity probe)
+        mask = (
+            pc.is_null(arr).to_numpy(zero_copy_only=False)
+            if arr.null_count
+            else None
+        )
+        return pa.array(out, type=pa.float64(), mask=mask)
     return pa.array(out, type=pa.float64(), from_pandas=True)

@@ -308,17 +308,24 @@ def sort_limit_orders(sf_dir: str) -> ray.data.Dataset:
     """Top-10 orders by totalprice (desc), deterministic tie-break on
     o_orderkey.  Distributed sort + limit (Ray range-partitions).
 
-    Null semantics STATED in the SQL: rows with null o_totalprice are
-    excluded (Ray's sort and DuckDB's ORDER BY ... DESC place nulls
-    differently, so a top-k over a null-carrying key would diverge —
-    found by the null-fuzzing parity sweep).  The filter rides the
-    scan as a row-group predicate."""
+    Null/NaN semantics STATED in the SQL: rows whose o_totalprice is
+    null or non-finite are excluded (Ray's sort and DuckDB's ORDER BY
+    ... DESC place nulls differently, and DuckDB ranks NaN above every
+    number where numpy sorts it differently — both found by parity
+    sweeps; a top-k over a poisoned key is meaningless anyway).  The
+    filter rides the scan as a row-group predicate; the double bound
+    is the dataset-expression spelling of isfinite (NaN comparisons
+    are null and drop)."""
     import pyarrow.dataset as pads
 
+    _DBL_MAX = 1.7976931348623157e308
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_totalprice"],
-        filter=pads.field("o_totalprice").is_valid(),
+        filter=(
+            (pads.field("o_totalprice") >= -_DBL_MAX)
+            & (pads.field("o_totalprice") <= _DBL_MAX)
+        ),
     )
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
@@ -326,7 +333,7 @@ def sort_limit_orders(sf_dir: str) -> ray.data.Dataset:
 SORT_LIMIT_ORDERS_SQL = """
 SELECT o_orderkey, o_totalprice
 FROM orders
-WHERE o_totalprice IS NOT NULL
+WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 10
 """
@@ -491,10 +498,15 @@ def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
 
 
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
+-- stated semantics: the exclusion set is non-null custkeys of orders
+-- with a REAL price above the bar — DuckDB's NaN-above-everything
+-- would otherwise admit NaN-priced orders the engine's Arrow
+-- comparison (NaN > x = false) never matches
 SELECT c_custkey, c_name
 FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                         WHERE o_totalprice > 250000
+                          AND NOT isnan(o_totalprice)
                           AND o_custkey IS NOT NULL)
 """
 
@@ -594,7 +606,15 @@ def union_shards(sf_dir: str) -> ray.data.Dataset:
         # schema-less blocks (measured; the combine's kernel layer
         # absorbs them, but the executor warning is noise)
         t = t.filter(pc.is_valid(t["event_type"]))
-        pred = pc.less(t["value"], 0.0) if negative else pc.greater_equal(t["value"], 0.0)
+        if negative:
+            pred = pc.less(t["value"], 0.0)
+        else:
+            # DuckDB orders NaN above every number, so NaN >= 0 is TRUE
+            # there while Arrow's comparison is false — NaN rows belong
+            # to the non-negative shard (NaN/inf parity probe)
+            pred = pc.or_(
+                pc.greater_equal(t["value"], 0.0), pc.is_nan(t["value"])
+            )
         g = t.filter(pred).group_by("event_type").aggregate([([], "count_all")])
         return pa.table(
             {"event_type": g["event_type"], "n_part": pc.cast(g["count_all"], pa.int64())}
@@ -753,10 +773,23 @@ def top2_orders_per_customer(sf_dir: str) -> ray.data.Dataset:
             # so they sort (and segment) as a single trailing group
             cust = np.where(np.isnan(cust), np.inf, cust)
         okey = g["o_orderkey"].to_numpy(zero_copy_only=False)
-        price = g["o_totalprice"].to_numpy(zero_copy_only=False)
-        # -NaN == NaN sorts last within a partition == DuckDB's default
-        # NULLS LAST under ORDER BY ... DESC
-        order = np.lexsort((okey, -price, cust))
+        price_arr = g["o_totalprice"]
+        price = price_arr.to_numpy(zero_copy_only=False)
+        # DuckDB's ORDER BY o_totalprice DESC ranks three classes:
+        # NaN VALUES first (NaN orders above every number), then real
+        # numbers descending (+inf ... -inf), then NULLs last (default
+        # NULLS LAST).  to_numpy renders null as NaN too, so the class
+        # split needs the Arrow validity bitmap.
+        nullmask = (
+            pc.is_null(price_arr).to_numpy(zero_copy_only=False)
+            if price_arr.null_count
+            else np.zeros(len(price), dtype=bool)
+        )
+        with np.errstate(invalid="ignore"):
+            nanmask = np.isnan(price) & ~nullmask
+        lvl = np.where(nullmask, 2, np.where(nanmask, 0, 1)).astype(np.int8)
+        sortval = np.where(lvl == 1, -price, 0.0)
+        order = np.lexsort((okey, sortval, lvl, cust))
         cs = cust[order]
         starts, lens = segments(cs)
         seg_id = np.repeat(np.arange(len(starts)), lens)
@@ -1047,25 +1080,39 @@ def events_value_quantiles(sf_dir: str) -> ray.data.Dataset:
         et = g["event_type"].to_numpy(zero_copy_only=False)
         invalid = pc.is_null(g["value"]).to_numpy(zero_copy_only=False)
         val = pc.fill_null(g["value"], 0.0).to_numpy(zero_copy_only=False)
+        # NaN VALUES are excluded from the quantile itself — STATED in
+        # the oracle SQL's FILTER (WHERE NOT isnan(value)).  DuckDB's
+        # bare quantile_cont over a NaN-carrying group was probed to
+        # return results that vary with INPUT ROW ORDER (NaN poisons
+        # its selection comparisons), so there is no stable contract
+        # to match; n still counts NaN rows (count(value) semantics).
+        with np.errstate(invalid="ignore"):
+            q_excl = invalid | (np.isnan(val) & ~invalid)
         codes, inv = np.unique(et, return_inverse=True)
-        # per group: valid values first (sorted), nulls last
-        order = np.lexsort((val, invalid, inv))
+        # per group: quantile-eligible values first (sorted), then rest
+        order = np.lexsort((val, q_excl, inv))
         vs, gs = val[order], inv[order]
         from dedup_ray.core import segments
 
         starts, lens = segments(gs)
         n_valid = np.add.reduceat((~invalid[order]).astype(np.int64), starts)
-        has = n_valid > 0
+        n_q = np.add.reduceat((~q_excl[order]).astype(np.int64), starts)
+        has = n_q > 0
 
         def q_at(p: float) -> np.ndarray:
             # PERCENTILE_CONT: linear interpolation at rank p*(n-1)
-            # over the VALID prefix of each segment
-            nv = np.maximum(n_valid, 1)
+            # over the quantile-eligible prefix of each segment.  At an
+            # integer rank take the element itself — the interpolation
+            # formula would compute vs[hi] * 0, which is NaN when
+            # vs[hi] is +/-inf (DuckDB returns the exact element there)
+            nv = np.maximum(n_q, 1)
             pos = starts + p * (nv - 1)
             lo = np.floor(pos).astype(np.int64)
             hi = np.minimum(lo + 1, starts + nv - 1)
             frac = pos - lo
-            return vs[lo] * (1 - frac) + vs[hi] * frac
+            with np.errstate(invalid="ignore"):
+                interp = vs[lo] * (1 - frac) + vs[hi] * frac
+            return np.where(frac > 0, interp, vs[lo])
 
         def masked(vals: np.ndarray) -> pa.Array:
             return pa.array(
@@ -1109,9 +1156,15 @@ def events_value_quantiles(sf_dir: str) -> ray.data.Dataset:
 
 
 EVENTS_VALUE_QUANTILES_SQL = """
+-- NaN semantics STATED: quantiles are computed over non-NaN values
+-- (DuckDB's bare quantile_cont over a NaN-carrying group returns
+-- input-order-dependent results — probed on DuckDB 1.0.0 — so the
+-- FILTER pins a deterministic contract); n keeps count(value).
 SELECT event_type,
-       round(quantile_cont(value, 0.50), 6) AS p50,
-       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.50)
+               FILTER (WHERE NOT isnan(value)), 6) AS p50,
+       round(quantile_cont(value, 0.95)
+               FILTER (WHERE NOT isnan(value)), 6) AS p95,
        CAST(count(value) AS BIGINT)         AS n
 FROM events
 WHERE event_type IS NOT NULL
@@ -1383,8 +1436,13 @@ def tpch_q3_shipping(
         # revenue desc, date, key) is a complete candidate set — only
         # <= 10 rows per partition reach the global merge, replacing a
         # full Ray range-sort of every qualifying order (and Ray 2.49's
-        # sort strips the schema off an all-empty sorted dataset)
-        top = np.lexsort((uk, dates, -rev.to_numpy(zero_copy_only=False)))[:10]
+        # sort strips the schema off an all-empty sorted dataset).
+        # DuckDB orders NaN revenue ABOVE every number in DESC (numpy
+        # and Arrow both sort it last) — the nan level key matches it.
+        rv = rev.to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):
+            nanlvl = np.where(np.isnan(rv), 0, 1).astype(np.int8)
+            top = np.lexsort((uk, dates, -rv, nanlvl))[:10]
         idx = pa.array(top)
         return pa.table(
             {
@@ -1403,13 +1461,23 @@ def tpch_q3_shipping(
     )
 
     def final_top10(g: pa.Table) -> pa.Table:
-        return g.sort_by(
-            [
-                ("revenue", "descending"),
-                ("o_orderdate", "ascending"),
-                ("l_orderkey", "ascending"),
-            ]
-        ).slice(0, 10)
+        # same NaN-first-under-DESC convention as the candidate kernel
+        nanlvl = pc.if_else(
+            pc.is_nan(g["revenue"]), pa.scalar(0, pa.int8()), pa.scalar(1, pa.int8())
+        )
+        return (
+            g.append_column("_nanlvl", nanlvl)
+            .sort_by(
+                [
+                    ("_nanlvl", "ascending"),
+                    ("revenue", "descending"),
+                    ("o_orderdate", "ascending"),
+                    ("l_orderkey", "ascending"),
+                ]
+            )
+            .slice(0, 10)
+            .drop(["_nanlvl"])
+        )
 
     from dedup_ray.core import global_kernel
 
@@ -1915,8 +1983,13 @@ def orders_rollup(sf_dir: str) -> ray.data.Dataset:
         status = np.array(fine["o_orderstatus"].to_pylist(), dtype=object)
         prio = np.array(fine["o_orderpriority"].to_pylist(), dtype=object)
         sums = fine["price_sum_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
-        sums = np.nan_to_num(sums)  # null partial sums contribute 0
         nps = fine["np_part_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # zero ONLY the SQL-NULL slots (no non-null price in the fine
+        # group, nps == 0) so they contribute 0 to subtotals like SQL's
+        # null-skipping sum.  nan_to_num here would also zero a GENUINE
+        # NaN sum and clamp +/-inf to DBL_MAX, where SQL propagates
+        # both through every rollup level (NaN/inf parity probe).
+        sums = np.where(nps == 0, 0.0, sums)
         ns = fine["n_part_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
         coal = lambda x: "ALL" if x is None else x
 
