@@ -750,7 +750,7 @@ def top2_orders_per_customer(sf_dir: str) -> ray.data.Dataset:
     kernel (rank-within-segment), not per-group python."""
     import numpy as np
 
-    from dedup_ray.core import partitioned_kernel, segments
+    from dedup_ray.core import partitioned_kernel
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
@@ -765,13 +765,17 @@ def top2_orders_per_customer(sf_dir: str) -> ray.data.Dataset:
     )
 
     def kernel(g: pa.Table) -> pa.Table:
-        cust = g["o_custkey"].to_numpy(zero_copy_only=False)
-        if cust.dtype.kind == "f":
-            # null custkeys degrade the column to float64+NaN; SQL's
-            # PARTITION BY puts every NULL in ONE partition, while
-            # NaN != NaN would make each its own segment — map to +inf
-            # so they sort (and segment) as a single trailing group
-            cust = np.where(np.isnan(cust), np.inf, cust)
+        # SQL's PARTITION BY puts every NULL custkey in ONE partition.
+        # Integer-exact: to_numpy on a null-bearing int64 degrades to
+        # float64 (keys past 2^53 would silently collapse), so take
+        # the values through fill_null and the null flag separately.
+        ck_arr = g["o_custkey"]
+        cnull = (
+            pc.is_null(ck_arr).to_numpy(zero_copy_only=False)
+            if ck_arr.null_count
+            else np.zeros(len(g), dtype=bool)
+        )
+        cust = pc.fill_null(ck_arr, 0).to_numpy(zero_copy_only=False)
         okey = g["o_orderkey"].to_numpy(zero_copy_only=False)
         price_arr = g["o_totalprice"]
         price = price_arr.to_numpy(zero_copy_only=False)
@@ -789,9 +793,14 @@ def top2_orders_per_customer(sf_dir: str) -> ray.data.Dataset:
             nanmask = np.isnan(price) & ~nullmask
         lvl = np.where(nullmask, 2, np.where(nanmask, 0, 1)).astype(np.int8)
         sortval = np.where(lvl == 1, -price, 0.0)
-        order = np.lexsort((okey, sortval, lvl, cust))
-        cs = cust[order]
-        starts, lens = segments(cs)
+        order = np.lexsort((okey, sortval, lvl, cust, cnull))
+        # a window partition boundary is a change in (is_null, custkey)
+        # — fill_null(0) must not merge real custkey 0 with the nulls
+        cs, cn = cust[order], cnull[order]
+        firsts = np.ones(len(cs), dtype=bool)
+        firsts[1:] = (cs[1:] != cs[:-1]) | (cn[1:] != cn[:-1])
+        starts = np.flatnonzero(firsts)
+        lens = np.diff(np.concatenate([starts, [len(cs)]]))
         seg_id = np.repeat(np.arange(len(starts)), lens)
         rank = np.arange(len(cs)) - starts[seg_id]
         keep = rank < 2
@@ -806,16 +815,17 @@ def top2_orders_per_customer(sf_dir: str) -> ray.data.Dataset:
         )
 
     def key_hash(t: pa.Table) -> np.ndarray:
-        arr = t["o_custkey"].to_numpy(zero_copy_only=False)
-        if arr.dtype.kind == "f":
-            # all NULL custkeys must land in the SAME partition (they
-            # form one window partition); NaN.astype(uint64) is
-            # platform-undefined garbage that would scatter them
-            nan = np.isnan(arr)
-            out = np.where(nan, 0.0, arr).astype(np.int64).view(np.uint64)
-            out[nan] = np.uint64(0x517CC1B727220A95)
-            return out
-        return arr.astype(np.int64).view(np.uint64)
+        # integer-exact (no float degrade for hash-sized keys); all
+        # NULL custkeys land in ONE partition via a fixed sentinel —
+        # real custkey 0 stays separate because the kernel segments on
+        # (is_null, custkey), and hash collisions only co-locate
+        arr = t["o_custkey"]
+        out = pc.fill_null(arr, 0).to_numpy(zero_copy_only=False)
+        out = out.astype(np.int64, copy=True).view(np.uint64)
+        if arr.null_count:
+            nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
+            out[nulls] = np.uint64(0x517CC1B727220A95)
+        return out
 
     return partitioned_kernel(
         ds,

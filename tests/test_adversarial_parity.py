@@ -193,3 +193,35 @@ def test_null_custkey_anti_join(ray_session, tmp_path):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
     _check("customers_without_orders", d, con)
     con.close()
+
+
+def test_hash_sized_custkeys_with_nulls_top2(ray_session, tmp_path):
+    """Null custkeys used to degrade the column to float64, collapsing
+    hash-sized keys that differ only below 2^53 into one window
+    partition; the kernel now stays integer-exact (fill_null + the
+    validity flag) and segments on (is_null, custkey) so real custkey
+    0 never merges with the NULL partition."""
+    d = str(tmp_path)
+    big = 2**62
+    ck = [big, big + 1, big, big + 1, None, None, None, 0, 0, 5]
+    n = len(ck)
+    price = [100.0, 200.0, 300.0, 400.0, 50.0, 60.0, 70.0, 10.0, 20.0, 5.0]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(1, n + 1), pa.int64()),
+                "o_custkey": pa.array(ck, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n, pa.string()),
+                "o_totalprice": pa.array(price, pa.float64()),
+                "o_orderdate": pa.array(
+                    (np.arange(n) * 86_400_000_000).astype("datetime64[us]")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+            }
+        ),
+        f"{d}/orders.parquet",
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{d}/orders.parquet')")
+    _check("top2_orders_per_customer", d, con)
+    con.close()
