@@ -67,15 +67,29 @@ def hash_strings_u64(values: list) -> np.ndarray:
 
 
 def numeric_key_u64(table: pa.Table, cols: list[str]) -> np.ndarray:
-    """Vectorized combined hash of numeric key columns."""
+    """Vectorized combined hash of numeric key columns.  Null keys get
+    a fixed sentinel code: a null-bearing int column degrades to
+    float64+NaN under to_numpy, and NaN.astype(uint64) is platform-UB
+    garbage — tolerable for rows a later join drops anyway, but the
+    sentinel keeps partition placement well-defined everywhere."""
+    import pyarrow.compute as pc
+
     acc = np.zeros(len(table), dtype=np.uint64)
-    with np.errstate(over="ignore"):
+    with np.errstate(over="ignore", invalid="ignore"):
         for c in cols:
-            col = table[c].to_numpy(zero_copy_only=False)
+            arr = table[c]
+            nulls = None
+            if isinstance(arr, (pa.Array, pa.ChunkedArray)) and arr.null_count:
+                nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
+                arr = pc.fill_null(arr, 0)
+            col = arr.to_numpy(zero_copy_only=False)
             if col.dtype == np.int64 or col.dtype == np.int32:
                 col = col.astype(np.int64).view(np.uint64)
             else:
                 col = col.astype(np.uint64)
+            if nulls is not None:
+                col = col.copy()
+                col[nulls] = np.uint64(0x9E6A5E4D3C2B1A09)
             acc = acc * np.uint64(0x9E3779B97F4A7C15) + col
     return splitmix64(acc)
 
