@@ -19,8 +19,16 @@ def sql_round(arr, ndigits: int = 2) -> pa.Array:
         arr = arr.combine_chunks()
     x = arr.to_numpy(zero_copy_only=False).astype(np.float64)
     m = 10.0 ** ndigits
-    y = np.abs(x) * m
-    out = np.copysign(np.floor(y + 0.5), x) / m
+    with np.errstate(over="ignore", invalid="ignore"):
+        y = np.abs(x) * m
+        out = np.copysign(np.floor(y + 0.5), x) / m
+        # DuckDB returns the INPUT unchanged when the scale step
+        # overflows (round(1e308, 2) == 1e308, probed on 1.0.0);
+        # without this, a finite |x| > DBL_MAX/10^n rounds to +-inf
+        # and diverges.
+        blown = np.isinf(y) & np.isfinite(x)
+    if blown.any():
+        out = np.where(blown, x, out)
     if isinstance(arr, pa.Array):
         # null iff the INPUT was null: from_pandas=True would also turn
         # a genuine NaN VALUE into null, where DuckDB's round(NaN) is

@@ -175,9 +175,10 @@ def _enrich_mktsegment(t: pa.Table, ref) -> pa.Table:
     keys, segs = _worker_broadcast(ref)
     ck = t["o_custkey"].to_numpy(zero_copy_only=False)
     if len(keys) == 0:
-        # the found mask must stay batch-length (an empty build side
-        # drops every row; a zero-length mask would fail the filter)
-        idx = np.zeros(0, dtype=np.int64)
+        # an empty build side drops every row; idx must stay
+        # batch-length so idx[found] (a boolean index) is legal, and
+        # found all-False then selects nothing from it
+        idx = np.zeros(len(ck), dtype=np.int64)
         found = np.zeros(len(ck), dtype=bool)
     else:
         idx = np.minimum(np.searchsorted(keys, ck), len(keys) - 1)
