@@ -107,10 +107,38 @@ def _mut_extreme_floats(d, rng):
         _poke(d, fname, col, vals, pa.float64(), rng)
 
 
+def _mut_one_row(d, rng):
+    # every table exactly one row: sort/window/quantile boundary
+    for t in _FULL_TABLES:
+        p = f"{d}/{t}.parquet"
+        tb = pq.read_table(p)
+        pq.write_table(tb.slice(0, min(1, len(tb))), p)
+
+
+def _mut_const_events(d, rng):
+    # all events identical (one user, one instant, one type, one
+    # value): sessionize/interarrival/argmax full-tie boundary
+    p = f"{d}/events.parquet"
+    t = pq.read_table(p)
+    n = len(t)
+    consts = [
+        ("user_id", 7, pa.int64()),
+        ("ts", np.datetime64("2020-01-01T00:00:00", "us").item(),
+         pa.timestamp("us")),
+        ("event_type", "click", pa.string()),
+        ("value", 42.5, pa.float64()),
+    ]
+    for col, val, typ in consts:
+        t = _set_col(t, col, pa.array([val] * n, typ))
+    pq.write_table(t, p)
+
+
 _MUTATORS = {
     "extreme_ints": _mut_extreme_ints,
     "extreme_ts": _mut_extreme_ts,
     "extreme_floats": _mut_extreme_floats,
+    "one_row": _mut_one_row,
+    "const_events": _mut_const_events,
 }
 
 
