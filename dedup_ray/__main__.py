@@ -66,6 +66,14 @@ def main(argv: list[str] | None = None) -> int:
         "production path — it alone supports column pruning)",
     )
     p.add_argument(
+        "--dedupe-recrawls",
+        action="store_true",
+        help="collapse duplicate urls (recrawls) to one row per url "
+        "before hashing: latest warc_ts wins, deterministic tie-break. "
+        "url is the engine's identity key, so inputs with recrawls "
+        "need this (semantic: flipping it invalidates checkpoints)",
+    )
+    p.add_argument(
         "--on-bad-lines",
         choices=("error", "skip"),
         default="error",
@@ -100,6 +108,8 @@ def main(argv: list[str] | None = None) -> int:
     from dedup_ray.stages.exact import dup_stats
 
     kw = {"jaccard_tau": args.tau, "priority_col": args.priority_col or None}
+    if args.dedupe_recrawls:
+        kw["dedupe_recrawls"] = True
     if args.seed is not None:
         kw["seed"] = args.seed
     # priority_col is a SEMANTIC config field: it participates in

@@ -79,6 +79,16 @@ class DedupConfig:
     #: reusing winners picked under the old priority.
     priority_col: str | None = None
 
+    # --- ingest -------------------------------------------------------
+    #: collapse duplicate urls (recrawls) to one row per url before
+    #: hashing — keeps the latest warc_ts, deterministic tie-break
+    #: (sources/pages.dedupe_recrawls).  SEMANTIC: changes the row set
+    #: every stage sees, so it participates in config_hash.  Off by
+    #: default: the url-unique precondition is the caller's contract,
+    #: and the extra url-keyed exchange shouldn't tax inputs that
+    #: already satisfy it.
+    dedupe_recrawls: bool = False
+
     # --- determinism --------------------------------------------------
     seed: int = 0x5EED_D00D
 

@@ -390,7 +390,18 @@ def flagship_assignments_from_pages(
     *,
     substring_pass: bool = False,
 ) -> ray.data.Dataset:
-    """pages (url, text, lang, priority) -> assignments."""
+    """pages (url, text, lang, priority) -> assignments.
+
+    PRECONDITION: urls are unique — url is the engine's identity key
+    (doc_id = hash(url)), so duplicate urls share one union-find node
+    and different-content recrawls can alias unrelated clusters under
+    one label.  Set ``cfg.dedupe_recrawls`` (or run
+    ``sources.pages.dedupe_recrawls`` yourself) when the input may
+    contain recrawls."""
+    if cfg.dedupe_recrawls:
+        from dedup_ray.sources.pages import dedupe_recrawls
+
+        pages = dedupe_recrawls(pages, num_partitions=cfg.num_partitions)
     hashed = add_content_sha256(pages)
     # members is consumed twice (winners branch + final assign) and
     # signatures four times (hot-bucket count, salting, verify x2):
@@ -464,6 +475,12 @@ def run_flagship_checkpointed(
             pages = pages_loader(input_path)
         else:
             pages = extract_text(read_pages_parquet(input_path))
+        if cfg.dedupe_recrawls:
+            # semantic config field -> a flip invalidates this stage's
+            # manifest and everything downstream
+            from dedup_ray.sources.pages import dedupe_recrawls
+
+            pages = dedupe_recrawls(pages, num_partitions=cfg.num_partitions)
         return exact_members(
             add_content_sha256(pages), num_partitions=cfg.num_partitions
         )

@@ -304,3 +304,77 @@ def _normalize_pages(
         else pa.array([0] * n, type=pa.int64())
     )
     return pa.table(cols)
+
+
+#: deterministic tie-break column order for dedupe_recrawls (only the
+#: columns present in the input participate): latest warc_ts wins,
+#: then descending text / html bytes / lang, then ASCENDING priority
+#: (lower priority is "better" everywhere else in the engine)
+_RECRAWL_TIEBREAK = ["warc_ts", "text", "html", "lang"]
+
+
+def dedupe_recrawls(
+    pages: ray.data.Dataset, *, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Collapse duplicate urls (recrawls) to exactly one row per url.
+
+    The engine's identity key is ``url`` (``doc_id = hash(url)`` at
+    ingest), so a corpus with the same url crawled twice violates the
+    pipeline's precondition: both rows share one union-find node, and
+    two different-content rows can smuggle unrelated clusters into one
+    label (or transitively merge their neighborhoods).  Real crawl
+    deliveries contain recrawls, so this stage makes the precondition
+    cheap to establish: ONE url-keyed hash exchange keeping, per url,
+    the row with the latest ``warc_ts`` (null timestamps lose), ties
+    broken deterministically on descending text/html/lang bytes then
+    ascending priority — the kept row is a pure function of the row
+    SET, never of block layout or CPU count.
+
+    Enable via ``DedupConfig.dedupe_recrawls`` (semantic: participates
+    in config_hash) or the CLI's ``--dedupe-recrawls``.
+    """
+    from dedup_ray.core import partitioned_kernel, schema_names
+    from dedup_ray.util import hash_urls_u64
+
+    import numpy as np
+
+    names = schema_names(pages)
+    if "url" not in names:
+        # zero-row/schema-less input: nothing to collapse
+        return pages
+    s = pages.schema(fetch_if_missing=True)
+    empty = pa.table(
+        {n: pa.array([], type=t) for n, t in zip(s.names, s.types)}
+    )
+    sort_keys = [("url", "ascending")] + [
+        (c, "descending") for c in _RECRAWL_TIEBREAK if c in names
+    ]
+    if "priority" in names:
+        sort_keys.append(("priority", "ascending"))
+
+    def key_hash(t: pa.Table) -> np.ndarray:
+        return hash_urls_u64(t["url"].to_pylist())
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if "url" not in t.column_names or len(t) == 0:
+            return empty
+        # null_placement="at_end" puts null warc_ts last within a url
+        # group under the descending key — a null timestamp loses to
+        # any real one
+        idx = pc.sort_indices(
+            t, sort_keys=sort_keys, null_placement="at_end"
+        )
+        t2 = t.take(idx)
+        u = np.asarray(t2["url"].to_pylist(), dtype=object)
+        first = np.empty(len(u), dtype=bool)
+        first[0] = True
+        np.not_equal(u[1:], u[:-1], out=first[1:])
+        return t2.filter(pa.array(first))
+
+    return partitioned_kernel(
+        pages,
+        key_hash,
+        kernel,
+        num_partitions=num_partitions,
+        empty_result=empty,
+    )
