@@ -133,12 +133,61 @@ def _mut_const_events(d, rng):
     pq.write_table(t, p)
 
 
+def _mut_unicode_keys(d, rng):
+    # unicode / empty-string / zero-width GROUP KEYS (text VALUES are
+    # covered by the unicode-corpus sweep; grouping keys were not):
+    # byte-order-vs-codepoint sort and ""-vs-null grouping
+    weird = ["", " ", "é", "Z̈urich", "日本語", "🦊fox", "​", "Ａ"]
+
+    def poke(path, col):
+        t = pq.read_table(path)
+        if col not in t.column_names or len(t) == 0:
+            return
+        v = t[col].to_pylist()
+        idx = rng.choice(len(v), size=min(len(v), 24), replace=False)
+        for j, i in enumerate(idx):
+            v[i] = weird[j % len(weird)]
+        pq.write_table(_set_col(t, col, pa.array(v, pa.string())), path)
+
+    for path, col in [
+        ("events.parquet", "event_type"),
+        ("documents.parquet", "lang"),
+        ("documents.parquet", "source"),
+        ("orders.parquet", "o_orderstatus"),
+        ("orders.parquet", "o_orderpriority"),
+        ("lineitem.parquet", "l_returnflag"),
+        ("customer.parquet", "c_mktsegment"),
+        ("part.parquet", "p_brand"),
+    ]:
+        poke(f"{d}/{path}", col)
+
+
+def _mut_highcard_keys(d, rng):
+    # every group key distinct: the one-row-per-group boundary of
+    # grouped kernels and partial combiners
+    def poke(path, col, fmt):
+        t = pq.read_table(path)
+        if col not in t.column_names or len(t) == 0:
+            return
+        n = len(t)
+        pq.write_table(
+            _set_col(t, col, pa.array([fmt(i) for i in range(n)])), path
+        )
+
+    poke(f"{d}/events.parquet", "event_type", lambda i: f"type_{i:07d}")
+    poke(f"{d}/documents.parquet", "lang", lambda i: f"l{i:05d}")
+    poke(f"{d}/documents.parquet", "source", lambda i: f"s{i:05d}")
+    poke(f"{d}/orders.parquet", "o_orderstatus", lambda i: f"st{i:06d}")
+
+
 _MUTATORS = {
     "extreme_ints": _mut_extreme_ints,
     "extreme_ts": _mut_extreme_ts,
     "extreme_floats": _mut_extreme_floats,
     "one_row": _mut_one_row,
     "const_events": _mut_const_events,
+    "unicode_keys": _mut_unicode_keys,
+    "highcard_keys": _mut_highcard_keys,
 }
 
 
