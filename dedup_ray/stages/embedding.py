@@ -87,7 +87,19 @@ def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     if n == 0:
         return ids, np.empty((0, 1), dtype=np.float64)
-    return ids, flat.reshape(n, len(flat) // n)
+    # Inferring dim as len(flat)//n would SILENTLY misalign every
+    # following vector when a batch mixes lengths that happen to sum
+    # to a multiple of n (one short + one long vector cancel out) —
+    # validate per-row lengths and fail loudly with the offenders.
+    lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+    if (lens != lens[0]).any():
+        bad = ids[lens != lens[0]][:5]
+        raise ValueError(
+            "embedding column has inconsistent dimensions: expected "
+            f"{lens[0]}, found lengths {sorted(set(lens.tolist()))[:6]} "
+            f"(first offending vec_ids: {bad.tolist()})"
+        )
+    return ids, flat.reshape(n, lens[0])
 
 
 def _collect_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:

@@ -180,6 +180,22 @@ def _mut_highcard_keys(d, rng):
     poke(f"{d}/orders.parquet", "o_orderstatus", lambda i: f"st{i:06d}")
 
 
+def _mut_nan_embeddings(d, rng):
+    # NaN COMPONENTS inside live embeddings (failed encoders emit
+    # these): cosine scores involving them are NaN on both sides
+    p = f"{d}/embeddings.parquet"
+    t = pq.read_table(p)
+    vecs = t["embedding"].to_pylist()
+    for i in rng.choice(len(vecs), size=min(6, len(vecs)), replace=False):
+        if vecs[i]:
+            v = list(vecs[i])
+            v[0] = float("nan")
+            vecs[i] = v
+    pq.write_table(
+        _set_col(t, "embedding", pa.array(vecs, pa.list_(pa.float32()))), p
+    )
+
+
 _MUTATORS = {
     "extreme_ints": _mut_extreme_ints,
     "extreme_ts": _mut_extreme_ts,
@@ -188,7 +204,28 @@ _MUTATORS = {
     "const_events": _mut_const_events,
     "unicode_keys": _mut_unicode_keys,
     "highcard_keys": _mut_highcard_keys,
+    "nan_embeddings": _mut_nan_embeddings,
 }
+
+
+def test_mixed_dim_embeddings_raise_diagnostically():
+    """A batch mixing embedding lengths that happen to SUM to a
+    multiple of the row count (one short + one long cancel out) used
+    to reshape cleanly into a silently misaligned matrix; now every
+    consumer of _batch_matrix fails loudly naming the offenders."""
+    import pytest as _pytest
+
+    from dedup_ray.stages.embedding import _batch_matrix
+
+    vecs = [[1.0] * 64, [1.0] * 61, [1.0] * 67, [1.0] * 64]
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    with _pytest.raises(ValueError, match="inconsistent dimensions"):
+        _batch_matrix(t)
 
 
 @pytest.mark.slow
