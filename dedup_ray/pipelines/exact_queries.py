@@ -312,7 +312,21 @@ def length_histogram(
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = t["n_chars"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # null n_chars forms SQL's single NULL bucket (count(*) rows,
+        # NULL sum/min/max) — without the mask the int64-with-null
+        # column NaN-degrades and NaN // width is platform-UB garbage
+        # (the repo's documented nullable-int trap; caught by the
+        # control-chars sweep's nulled n_chars)
+        n_null = 0
+        if col.null_count:
+            n_null = col.null_count
+            nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+            nc = col.to_numpy(zero_copy_only=False)[~nulls].astype(np.int64)
+        else:
+            nc = col.to_numpy(zero_copy_only=False).astype(np.int64)
         b = nc // bucket_width
         ub, inv = np.unique(b, return_inverse=True)
         n = np.bincount(inv).astype(np.int64)
@@ -322,7 +336,7 @@ def length_histogram(
         np.minimum.at(mn, inv, nc)
         mx = np.full(len(ub), np.iinfo(np.int64).min, np.int64)
         np.maximum.at(mx, inv, nc)
-        return pa.table(
+        out = pa.table(
             {
                 "bucket": pa.array(ub, pa.int64()),
                 "n_docs": pa.array(n, pa.int64()),
@@ -331,6 +345,18 @@ def length_histogram(
                 "max_chars": pa.array(mx, pa.int64()),
             }
         )
+        if n_null:
+            null_row = pa.table(
+                {
+                    "bucket": pa.array([None], pa.int64()),
+                    "n_docs": pa.array([n_null], pa.int64()),
+                    "total_chars": pa.array([None], pa.int64()),
+                    "min_chars": pa.array([None], pa.int64()),
+                    "max_chars": pa.array([None], pa.int64()),
+                }
+            )
+            out = pa.concat_tables([out, null_row])
+        return out
 
     from dedup_ray.core import global_kernel
 

@@ -196,6 +196,35 @@ def _mut_nan_embeddings(d, rng):
     )
 
 
+def _mut_control_chars(d, rng):
+    # NUL / DEL / CR / tab / control chars in text, and — the part
+    # that caught a real bug — NULL n_chars rows: the histogram kernel
+    # NaN-degraded the int64-with-null column and NaN // width is
+    # platform-UB garbage where SQL forms a single NULL bucket
+    p = f"{d}/documents.parquet"
+    t = pq.read_table(p)
+    if len(t) == 0:
+        return
+    v = t["text"].to_pylist()
+    weird = [
+        "a\x00b null byte", "tab\tsep\ttext words here",
+        "cr\rlf\ncrlf\r\nmix", "del\x7fchar", "\x01\x02\x03ctl",
+        "bell\x07 and esc\x1b[0m codes", "\x00", "mixed \x00 \t \r all",
+    ]
+    idx = rng.choice(len(v), size=min(len(v), 16), replace=False)
+    for j, i in enumerate(idx):
+        v[i] = weird[j % len(weird)] + f" doc{i}"
+    t = _set_col(t, "text", pa.array(v, pa.string()))
+    t = _set_col(
+        t,
+        "n_chars",
+        pa.array(
+            [len(x) if x is not None else None for x in v], pa.int64()
+        ),
+    )
+    pq.write_table(t, p)
+
+
 _MUTATORS = {
     "extreme_ints": _mut_extreme_ints,
     "extreme_ts": _mut_extreme_ts,
@@ -205,6 +234,7 @@ _MUTATORS = {
     "unicode_keys": _mut_unicode_keys,
     "highcard_keys": _mut_highcard_keys,
     "nan_embeddings": _mut_nan_embeddings,
+    "control_chars": _mut_control_chars,
 }
 
 
