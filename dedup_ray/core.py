@@ -269,6 +269,36 @@ def read_small_table(path: str, columns: list[str]) -> pa.Table:
     return pq.read_table(path, columns=columns)
 
 
+def unique_key_order(keys: np.ndarray, *, name: str) -> np.ndarray:
+    """Argsort ``keys`` for a searchsorted join probe, enforcing the
+    UNIQUE-key dimension contract LOUDLY (the broadcast-side mirror of
+    ``exchange_join_unique_dim``'s in-kernel guard): a duplicate
+    dimension key would silently enrich each fact row with one
+    arbitrary match where SQL fans out to all of them.  Null (NaN)
+    keys are excluded from the returned order — SQL inner-join
+    semantics never match them, and NaN's self-inequality would
+    otherwise both break the probe (NaN == key is always False) and
+    false-positive the duplicate check (NaN > NaN is False).
+
+    Returns integer positions into the ORIGINAL array; indexing the
+    key and payload arrays with it yields the sorted, null-free probe
+    side."""
+    keys = np.asarray(keys)
+    if keys.dtype.kind == "f":
+        valid = np.flatnonzero(~np.isnan(keys))
+    else:
+        valid = np.arange(len(keys))
+    order = valid[np.argsort(keys[valid], kind="stable")]
+    ks = keys[order]
+    if len(ks) > 1 and not np.all(ks[1:] > ks[:-1]):
+        dup = np.unique(ks[1:][ks[1:] == ks[:-1]])
+        raise ValueError(
+            f"broadcast join probe: dimension key {name!r} is not "
+            f"unique — duplicate keys {dup[:10].tolist()}"
+        )
+    return order
+
+
 _JKEY = "_jkey"
 _JSLOT = "_jslot"
 

@@ -27,6 +27,7 @@ import ray
 import ray.data
 
 from dedup_ray.config import DEFAULT_CONFIG as _CFG
+from dedup_ray.core import unique_key_order
 from dedup_ray.functions.scalar import sql_round
 
 #: fact-table exchange width — the multi-node scale lever (r3 VERDICT
@@ -225,7 +226,7 @@ def join_orders_customer(
             f"{sf_dir}/customer.parquet", ["c_custkey", "c_mktsegment"]
         ).to_pandas()
         keys = customer["c_custkey"].to_numpy()
-        order = np.argsort(keys)
+        order = unique_key_order(keys, name="c_custkey")
         ref = ray.put(
             (keys[order], customer["c_mktsegment"].to_numpy(dtype=object)[order])
         )
@@ -690,7 +691,9 @@ def customers_per_region(sf_dir: str) -> ray.data.Dataset:
     ).to_pandas()
     n2r = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     keys = n2r["n_nationkey"].to_numpy()
-    order = np.argsort(keys)
+    # a duplicated r_regionkey would fan the merge out and duplicate
+    # nation keys here — the guard catches both malformations at once
+    order = unique_key_order(keys, name="n_nationkey")
     ref = ray.put((keys[order], n2r["r_name"].to_numpy(dtype=object)[order]))
 
     customer = ray.data.read_parquet(
@@ -1424,7 +1427,7 @@ def tpch_q3_shipping(
             .cast(pa.int64())
             .to_numpy(zero_copy_only=False)[is_ord]
         )
-        oo = np.argsort(o_keys)
+        oo = unique_key_order(o_keys, name="o_orderkey")
         o_keys, o_dates = o_keys[oo], o_dates[oo]
         l_keys = okey[~is_ord]
         l_rev = g["revenue_part"].to_numpy(zero_copy_only=False)[~is_ord]
@@ -1617,7 +1620,7 @@ def tpch_q5_region_revenue(
             keys = df[keys_col].to_numpy(dtype=np.int64)
             keep, nats = _region_keep(df[nats_col].to_numpy())
             keys, nats = keys[keep], nats[keep]
-            order = np.argsort(keys)
+            order = unique_key_order(keys, name=keys_col)
             return keys[order], nats[order]
 
         cust = read_small_table(
@@ -1763,7 +1766,7 @@ def tpch_q5_region_revenue(
         okey = g["okey"].to_numpy(zero_copy_only=False)
         nat = g["nat"].to_numpy(zero_copy_only=False)
         o_keys, o_nat = okey[is_ord], nat[is_ord]
-        oo = np.argsort(o_keys)
+        oo = unique_key_order(o_keys, name="o_orderkey")
         o_keys, o_nat = o_keys[oo], o_nat[oo]
         l_keys, l_nat = okey[~is_ord], nat[~is_ord]
         l_rev = g["revenue_part"].to_numpy(zero_copy_only=False)[~is_ord]
@@ -2079,7 +2082,7 @@ def part_revenue_by_brand(
             f"{sf_dir}/part.parquet", ["p_partkey", "p_brand"]
         ).to_pandas()
         keys = part["p_partkey"].to_numpy()
-        order = np.argsort(keys)
+        order = unique_key_order(keys, name="p_partkey")
         ref = ray.put((keys[order], part["p_brand"].to_numpy(dtype=object)[order]))
 
         def probe(t: pa.Table) -> pa.Table:

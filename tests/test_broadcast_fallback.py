@@ -116,3 +116,53 @@ def test_exchange_join_matches_pandas_merge_random(ray_session):
         want_semi = pd.DataFrame({"k": fkeys, "v": fval})
         want_semi = want_semi[want_semi["k"].isin(set(dkeys.tolist()))]
         assert len(semi) == len(want_semi), (n_fact, n_dim)
+
+
+def test_unique_key_order_contract():
+    """The broadcast-side mirror of the exchange guard: duplicate dim
+    keys raise loudly; NaN (null) keys are excluded, never matched,
+    and never false-positive the duplicate check."""
+    import numpy as np
+
+    from dedup_ray.core import unique_key_order
+
+    keys = np.array([30, 10, 20], dtype=np.int64)
+    order = unique_key_order(keys, name="k")
+    assert keys[order].tolist() == [10, 20, 30]
+
+    with pytest.raises(ValueError, match="'k' is not unique"):
+        unique_key_order(np.array([1, 2, 2, 3], dtype=np.int64), name="k")
+
+    fkeys = np.array([np.nan, 5.0, np.nan, 1.0])
+    order = unique_key_order(fkeys, name="k")
+    assert fkeys[order].tolist() == [1.0, 5.0]
+
+    with pytest.raises(ValueError, match="is not unique"):
+        unique_key_order(np.array([np.nan, 5.0, 5.0]), name="k")
+
+
+def test_broadcast_join_dup_dim_key_raises(ray_session, tmp_path):
+    """A dup-keyed customer dimension must fail LOUDLY on the broadcast
+    plan (SQL fans out; a silent first-match would under-count)."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 2], pa.int64()),
+                "o_totalprice": pa.array([10.0, 20.0]),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 1, 2], pa.int64()),
+                "c_mktsegment": pa.array(["A", "B", "C"]),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    with pytest.raises(ValueError, match="c_custkey.* is not unique"):
+        join_orders_customer(str(tmp_path))
