@@ -21,7 +21,24 @@ import ray.data
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
 
+def _canon_warc_ts(ts: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """Canonicalize a timestamp-typed ``warc_ts`` to the schema contract
+    ``timestamp[us]`` (naive UTC).  Real crawl shards carry tz-aware
+    columns (WARC dates are UTC) and assorted units; Arrow stores
+    tz-aware timestamps as UTC epoch and the tz-aware -> naive cast
+    reinterprets that storage (probed: epoch 07:00Z labeled +05:00
+    casts to naive 07:00), so one cast is instant-preserving — without
+    it a tz-aware or ms-unit shard violates the pages schema and a
+    union with a canonical shard emits mixed-schema blocks."""
+    return ts.cast(pa.timestamp("us"))
+
+
 def _add_priority(batch: pa.Table) -> pa.Table:
+    if "warc_ts" in batch.column_names and pa.types.is_timestamp(
+        batch["warc_ts"].type
+    ):
+        i = batch.column_names.index("warc_ts")
+        batch = batch.set_column(i, "warc_ts", _canon_warc_ts(batch["warc_ts"]))
     if "priority" in batch.column_names:
         col = batch["priority"]
         if col.null_count:
@@ -270,7 +287,7 @@ def _normalize_pages(
     if "warc_ts" in names:
         ts = batch["warc_ts"]
         if pa.types.is_timestamp(ts.type):
-            cols["warc_ts"] = ts.cast(pa.timestamp("us"))
+            cols["warc_ts"] = _canon_warc_ts(ts)
         else:
             # ISO-8601 strings (JSONL/CSV carry timestamps as text)
             cols["warc_ts"] = _parse_warc_ts(ts, lenient=lenient)

@@ -220,3 +220,74 @@ def test_on_bad_lines_skip_drops_schema_malformed(ray_session, tmp_path):
         f.write('{"url": "https://e/", "text": "good", "priority": 2}\n')
     df = read_pages_jsonl(str(bad), on_bad_lines="skip").to_pandas()
     assert sorted(df["url"]) == ["https://a/", "https://e/"]
+
+
+def test_tz_aware_warc_ts_normalized_to_naive_utc(ray_session, tmp_path):
+    """Real crawl shards carry tz-aware warc_ts (WARC dates are UTC);
+    the canonical pages schema is naive timestamp[us].  The ingest must
+    convert INSTANT-preserving (pyarrow's bare tz-aware -> naive cast
+    yields local wall time, which would shift a +05:00 shard by 5 h
+    against a UTC one) and fold any unit to us."""
+    import datetime as dt
+
+    import pandas as pd
+
+    utc = dt.timezone.utc
+    # same INSTANT written from two zones plus one ms-unit shard
+    pq.write_table(
+        pa.table(
+            {
+                "url": ["u1"],
+                "warc_ts": pa.array(
+                    [dt.datetime(2024, 1, 1, 7, 0, tzinfo=utc)],
+                    type=pa.timestamp("us", tz="UTC"),
+                ),
+                "html": pa.array([None], pa.binary()),
+                "text": ["t1"],
+                "lang": ["en"],
+            }
+        ),
+        tmp_path / "utc.parquet",
+    )
+    # NOTE: build the +05:00 shard from epoch micros — pa.array IGNORES
+    # a python datetime's tzinfo when an explicit tz-typed target is
+    # given (probed: 12:00+05:00 stores epoch 12:00Z), which would pin
+    # the wrong instant into the fixture
+    epoch_7utc = int(dt.datetime(2024, 1, 1, 7, 0, tzinfo=utc).timestamp() * 1_000_000)
+    pq.write_table(
+        pa.table(
+            {
+                "url": ["u2"],
+                "warc_ts": pa.array([epoch_7utc], pa.int64()).cast(
+                    pa.timestamp("us", tz="+05:00")
+                ),
+                "html": pa.array([None], pa.binary()),
+                "text": ["t2"],
+                "lang": ["en"],
+            }
+        ),
+        tmp_path / "plus5.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "url": ["u3"],
+                "warc_ts": pa.array(
+                    [dt.datetime(2024, 1, 1, 7, 0)], type=pa.timestamp("ms")
+                ),
+                "html": pa.array([None], pa.binary()),
+                "text": ["t3"],
+                "lang": ["en"],
+            }
+        ),
+        tmp_path / "naive_ms.parquet",
+    )
+    ds = read_pages_parquet(
+        [str(tmp_path / n) for n in ("utc.parquet", "plus5.parquet", "naive_ms.parquet")]
+    )
+    assert str(ds.schema().base_schema.field("warc_ts").type) == "timestamp[us]"
+    df = ds.to_pandas().sort_values("url", ignore_index=True)
+    # 12:00+05:00 IS 07:00 UTC — all three rows land on the same naive
+    # UTC instant
+    want = pd.Timestamp("2024-01-01 07:00:00")
+    assert list(df["warc_ts"]) == [want, want, want]
