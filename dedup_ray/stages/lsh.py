@@ -82,14 +82,22 @@ _EMPTY_EDGES = pa.table(
 add_doc_ids = ensure_doc_ids
 
 
-def lsh_bands(signatures: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
+def lsh_bands(
+    signatures: ray.data.Dataset,
+    cfg: DedupConfig,
+    *,
+    passthrough: tuple[str, ...] = (),
+) -> ray.data.Dataset:
     """signatures -> band_rows: ``bands`` slim fixed-width rows per doc.
 
     Docs with zero shingles are skipped (their sentinel signature would
     otherwise bucket all empties together — empties are handled by the
     exact layer).  Vectorized: the batch's signature matrix is reshaped
     to (n*bands, rows_per_band) and band-hashed in one pass.
-    """
+
+    ``passthrough`` replicates the named int32-castable signature
+    columns onto every band row (used by the incremental pipeline to
+    carry the base/new ``side`` flag into the bucket kernel)."""
     bands, r = cfg.bands, cfg.rows_per_band
 
     def to_bands(batch: pa.Table) -> pa.Table:
@@ -101,6 +109,7 @@ def lsh_bands(signatures: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Datase
                     "band_id": pa.array([], type=pa.int32()),
                     "band_hash": pa.array([], type=pa.int64()),
                     "doc_id": pa.array([], type=pa.int64()),
+                    **{c: pa.array([], type=pa.int32()) for c in passthrough},
                 }
             )
         batch = add_doc_ids(batch)
@@ -118,6 +127,18 @@ def lsh_bands(signatures: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Datase
                 # pickled-object fallback; grouping only needs equality
                 "band_hash": pa.array(bh.view(np.int64), type=pa.int64()),
                 "doc_id": pa.array(ids, type=pa.int64()),
+                **{
+                    c: pa.array(
+                        np.repeat(
+                            pc.cast(batch[c], pa.int32()).to_numpy(
+                                zero_copy_only=False
+                            ),
+                            bands,
+                        ),
+                        type=pa.int32(),
+                    )
+                    for c in passthrough
+                },
             }
         )
 
@@ -618,6 +639,140 @@ def fused_candidate_pairs(
                     vs_parts.append(sub[1:])
             reps = np.sort(np.array(reps, dtype=ids.dtype))
             if len(reps) >= 2:
+                us_parts.append(np.repeat(reps[:1], len(reps) - 1))
+                vs_parts.append(reps[1:])
+        n_pairs = sum(len(p) for p in us_parts)
+        n_logs = len(log_sizes)
+        if n_pairs == 0 and n_logs == 0:
+            return _FUSED_EMPTY
+        u_out = np.concatenate(
+            ([np.concatenate(us_parts)] if us_parts else [])
+            + ([np.array(log_sizes, dtype=np.int64)] if n_logs else [])
+        )
+        v_out = np.concatenate(
+            ([np.concatenate(vs_parts)] if vs_parts else [])
+            + ([np.array(log_bands, dtype=np.int64)] if n_logs else [])
+        )
+        meta = np.concatenate(
+            [np.zeros(n_pairs, dtype=np.int32), np.ones(n_logs, dtype=np.int32)]
+        )
+        return pa.table(
+            {
+                "u_id": pa.array(u_out, type=pa.int64()),
+                "v_id": pa.array(v_out, type=pa.int64()),
+                "meta": pa.array(meta, type=pa.int32()),
+            }
+        )
+
+    return partitioned_kernel(
+        bands,
+        lambda t: numeric_key_u64(t, _BUCKET_KEY_COLS),
+        kernel,
+        num_partitions=num_partitions or 64,
+        empty_result=_FUSED_EMPTY,
+    )
+
+
+def fused_candidate_pairs_incremental(
+    bands: ray.data.Dataset, cfg: DedupConfig, *, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """ONE exchange from SIDE-TAGGED band rows (``side`` 0 = already
+    ingested base corpus, 1 = new shard) to candidate id pairs that
+    always touch >= 1 NEW doc — the incremental counterpart of
+    ``fused_candidate_pairs``.
+
+    Never emits base x base pairs: at 10^12 base docs those would
+    re-dedup the already-ingested corpus (the waste an incremental
+    operator exists to avoid), and they are provably verdict-neutral —
+    the per-cluster "contains a base doc" bit is carried entirely by
+    new-incident edges, and base-base connectivity can only merge
+    components that each already contain a base doc (same verdict
+    either way).  At 100 TB the base side's band rows come straight
+    from the banded signature checkpoint (never re-shingled); only the
+    new shard is hashed fresh.
+
+    Bucket topology per (band_id, band_hash) segment (new/base ids
+    each sorted ascending):
+      - L <= STAR_THRESHOLD: new x new triangle + full new x base cross
+      - L <= bucket_cap: star over new ids + (min new) x every base +
+        every other new x (min base) — linear in L, every new doc keeps
+        one direct base probe and the new block stays connected
+      - L > bucket_cap (hot): salted subgroups (stable mix(doc_id) %
+        n_salts) with the above applied per subgroup, plus a star over
+        per-subgroup min NEW ids, and a log row (meta=1: u_id=size,
+        v_id=band_id) per capped bucket — skew is never silent.
+    """
+    cap = cfg.bucket_cap
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if "side" not in g.column_names or len(g) == 0:
+            return _FUSED_EMPTY
+        k = numeric_key_u64(g, _BUCKET_KEY_COLS)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        sides = g["side"].to_numpy(zero_copy_only=False)
+        band_ids = g["band_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sides, k))
+        ks, ids_s, sides_s = k[order], ids[order], sides[order]
+        starts, lens = segments(ks)
+        us_parts, vs_parts = [], []
+        log_sizes, log_bands = [], []
+
+        def emit_block(base: np.ndarray, new: np.ndarray) -> None:
+            nb, nn = len(base), len(new)
+            if nn == 0 or nb + nn < 2:
+                return
+            if nb + nn <= STAR_THRESHOLD:
+                if nn >= 2:
+                    iu, jv = np.triu_indices(nn, k=1)
+                    us_parts.append(new[iu])
+                    vs_parts.append(new[jv])
+                if nb:
+                    us_parts.append(np.repeat(new, nb))
+                    vs_parts.append(np.tile(base, nn))
+                return
+            if nn >= 2:
+                us_parts.append(np.repeat(new[:1], nn - 1))
+                vs_parts.append(new[1:])
+            if nb:
+                us_parts.append(np.repeat(new[:1], nb))
+                vs_parts.append(base)
+                if nn >= 2:
+                    us_parts.append(new[1:])
+                    vs_parts.append(np.repeat(base[:1], nn - 1))
+
+        for s, L in zip(starts.tolist(), lens.tolist()):
+            seg_ids = ids_s[s : s + L]
+            seg_sides = sides_s[s : s + L]
+            # sides sorted within the segment: base block then new block
+            split = int(np.searchsorted(seg_sides, 1))
+            new = seg_ids[split:]
+            if len(new) == 0:
+                continue  # base-only bucket: the big incremental skip
+            base = seg_ids[:split]
+            if L <= cap:
+                emit_block(base, new)
+                continue
+            n_salts = -(-L // cap)
+            log_sizes.append(L)
+            log_bands.append(int(band_ids[order[s]]))
+            salts = (splitmix64(seg_ids.view(np.uint64)) % np.uint64(n_salts)).astype(
+                np.int64
+            )
+            order2 = np.lexsort((seg_ids, seg_sides, salts))
+            ids2, sides2 = seg_ids[order2], seg_sides[order2]
+            s2, l2 = segments(salts[order2])
+            reps_new = []
+            for ss, LL in zip(s2.tolist(), l2.tolist()):
+                sub_ids = ids2[ss : ss + LL]
+                sub_sides = sides2[ss : ss + LL]
+                sp = int(np.searchsorted(sub_sides, 1))
+                sub_new = sub_ids[sp:]
+                if len(sub_new) == 0:
+                    continue
+                reps_new.append(sub_new[0])
+                emit_block(sub_ids[:sp], sub_new)
+            if len(reps_new) >= 2:
+                reps = np.sort(np.array(reps_new, dtype=ids.dtype))
                 us_parts.append(np.repeat(reps[:1], len(reps) - 1))
                 vs_parts.append(reps[1:])
         n_pairs = sum(len(p) for p in us_parts)

@@ -184,7 +184,7 @@ class MinHasher:
         simhashes = self._simhash(all_sh, offsets, n_sh)
 
         cols: dict[str, pa.Array] = {"url": batch["url"]}
-        for passthrough in ("doc_id", "content_sha256", "n_chars", "priority", "lang"):
+        for passthrough in ("doc_id", "content_sha256", "n_chars", "priority", "lang", "side"):
             if passthrough in batch.column_names:
                 cols[passthrough] = batch[passthrough]
         cols["n_shingles"] = pa.array(n_sh, type=pa.int64())
@@ -254,7 +254,7 @@ def minhash_signatures_stage(
         )
     keep = [
         c
-        for c in ("url", "doc_id", "text", "content_sha256", "n_chars", "priority", "lang")
+        for c in ("url", "doc_id", "text", "content_sha256", "n_chars", "priority", "lang", "side")
         if c in names
     ]
     slim = ds.select_columns(keep)

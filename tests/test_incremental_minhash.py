@@ -1,0 +1,144 @@
+"""incremental_minhash_dedup verdict semantics on a crafted corpus
+with planted NEAR-duplicate structure (every verdict class + the
+transitive within-batch case + the zero-shingle carve-out), plus the
+side-aware pair kernel's base x base skip."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dedup_ray.config import DEFAULT_CONFIG
+from dedup_ray.pipelines.neardup_queries import incremental_minhash_dedup
+
+
+def _text(seed: str, n_tokens: int = 120) -> str:
+    return " ".join(f"{seed}w{j}" for j in range(n_tokens))
+
+
+@pytest.fixture(scope="module")
+def crafted_sf(tmp_path_factory):
+    root = tmp_path_factory.mktemp("incminhash")
+    t3 = _text("shared")
+    t22 = _text("pairA")
+    # one token swapped: still ~0.92 true Jaccard vs t22
+    t23 = " ".join(
+        tok if j != 60 else "SWAPPED" for j, tok in enumerate(t22.split(" "))
+    )
+    rows = [
+        # doc_id, text, source
+        (1, _text("base1"), "src0"),   # recrawl-1 -> near-dup of base
+        (2, "tiny doc", "src0"),       # < k tokens: recrawl-2 has no shingles
+        (3, t3, "src2"),               # base partner for doc 21
+        (20, _text("fresh"), "src1"),  # unique: new-20 'new', second-20 in-batch
+        (21, t3, "src1"),              # identical to base doc 3
+        (22, t22, "src1"),             # near-dup pair inside the batch
+        (23, t23, "src1"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, root / "documents.parquet")
+    return str(root)
+
+
+def test_incremental_minhash_verdicts(ray_session, crafted_sf):
+    out = incremental_minhash_dedup(crafted_sf).to_pandas()
+    got = dict(zip(out["url"], out["verdict"]))
+    assert got == {
+        # recrawl of src0: light rewrite of base content
+        "recrawl-1": "dup_of_base",
+        # zero-shingle short text: no minhash signal -> singleton
+        "recrawl-2": "new",
+        # fresh unique src1 doc + its in-batch rewrite
+        "new-20": "new",
+        "second-20": "dup_in_batch",
+        # src1 doc identical to a base doc: the whole component
+        # (incl. its 'second-' rewrite) joins the corpus cluster
+        "new-21": "dup_of_base",
+        "second-21": "dup_of_base",
+        # near-dup pair unseen in base: min-url member stays 'new',
+        # the rest (incl. both 'second-' rewrites) are in-batch dups —
+        # transitive over verified edges like the flagship
+        "new-22": "new",
+        "new-23": "dup_in_batch",
+        "second-22": "dup_in_batch",
+        "second-23": "dup_in_batch",
+    }
+    # row count contract: 2 x |src1| + |src0|
+    assert len(out) == 2 * 4 + 2
+
+
+def test_incremental_pair_kernel_skips_base_pairs(ray_session):
+    """The side-aware kernel never emits base x base candidate pairs,
+    including inside salted hot buckets."""
+    import ray.data
+
+    from dedup_ray.stages.lsh import (
+        fused_candidate_pairs_incremental,
+        lsh_bands,
+    )
+    from dedup_ray.stages.minhash import minhash_signatures_stage
+    from dedup_ray.util import hash_urls_u64
+
+    cfg = DEFAULT_CONFIG
+    # one boilerplate family far above bucket_cap (hot-bucket path) +
+    # a small bucket: mixed base/new membership in both
+    n_fam = cfg.bucket_cap * 2 + 10
+    urls, texts, sides = [], [], []
+    fam = _text("fam", 80)
+    for i in range(n_fam):
+        urls.append(f"{'n' if i % 3 == 0 else 'b'}-fam-{i:04d}")
+        texts.append(fam)
+        sides.append(1 if i % 3 == 0 else 0)
+    small = _text("small", 80)
+    for i in range(4):
+        urls.append(f"{'n' if i % 2 == 0 else 'b'}-small-{i}")
+        texts.append(small)
+        sides.append(1 if i % 2 == 0 else 0)
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "side": pa.array(sides, pa.int32()),
+            }
+        )
+    )
+    sigs = minhash_signatures_stage(pages, cfg)
+    bands = lsh_bands(sigs, cfg, passthrough=("side",))
+    fused = fused_candidate_pairs_incremental(bands, cfg).to_pandas()
+    pairs = fused[fused["meta"] == 0]
+    assert len(pairs), "expected candidate pairs"
+    # hot bucket was logged, not silently truncated
+    assert (fused["meta"] == 1).any()
+    ids = hash_urls_u64(urls).view(np.int64)
+    new_ids = {int(i) for i, s in zip(ids, sides) if s == 1}
+    touched_new = pairs["u_id"].isin(new_ids) | pairs["v_id"].isin(new_ids)
+    assert touched_new.all(), "base x base pair emitted"
+    # every NEW doc in the hot family still reaches the bucket: it
+    # appears in at least one candidate pair
+    seen = set(pairs["u_id"]) | set(pairs["v_id"])
+    for i, (u, s) in enumerate(zip(urls, sides)):
+        if s == 1 and "fam" in u:
+            assert int(ids[i]) in seen
+
+
+def test_incremental_minhash_empty_corpus(ray_session, tmp_path):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = incremental_minhash_dedup(str(tmp_path)).to_pandas()
+    assert len(out) == 0
+    assert set(out.columns) == {"url", "verdict"} or out.empty

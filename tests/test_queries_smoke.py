@@ -21,6 +21,8 @@ EXPECT_COLS = {
     "substring_edge_list": {"u", "v", "kind", "score"},
     "simhash_dedup": {"url", "simhash_cluster"},
     "jaccard_dedup": {"url", "jaccard_cluster"},
+    # in depth: tests/test_incremental_minhash.py (crafted verdicts)
+    "incremental_minhash_dedup": {"url", "verdict"},
     "lang_id": {"url", "lang_pred"},
     "doc_fingerprint": {"url", "n_fingerprints", "min_fingerprint"},
     "embedding_ann_lsh": {"id_a", "id_b"},
