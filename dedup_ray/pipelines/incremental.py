@@ -1,0 +1,266 @@
+"""Incremental NEAR-dup dedup of a new crawl shard against an
+already-ingested base corpus — the general two-dataset library API
+behind the ``incremental_minhash_dedup`` driver query (the MinHash
+counterpart of ``exact_queries.incremental_exact_dedup``, i.e. the
+reference HashDbObj analog, A5, lifted to near-duplicate semantics).
+
+Scale shape (10^12 base docs):
+  - the base side is never re-shingled in production — its signature
+    table is read from the flagship's ``signatures/`` checkpoint and
+    only the new shard is hashed fresh (at fixture scale this module
+    hashes both, which is the same code path);
+  - candidate pairs come from ONE exchange through the side-aware
+    bucket kernel ``stages/lsh.fused_candidate_pairs_incremental``,
+    which never emits base x base pairs (re-deduping the corpus is the
+    waste an incremental operator exists to avoid; provably
+    verdict-neutral — see its docstring) and salts + logs hot buckets
+    exactly like the flagship;
+  - verification and the verdict stages are slim keyed hash exchanges
+    (``core.partitioned_kernel``); nothing is collected on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from dedup_ray.config import DedupConfig
+
+VERDICTS_EMPTY = pa.table(
+    {
+        "url": pa.array([], type=pa.string()),
+        "verdict": pa.array([], type=pa.string()),
+    }
+)
+
+_SIDED_PAGES_EMPTY = pa.table(
+    {
+        "url": pa.array([], type=pa.string()),
+        "text": pa.array([], type=pa.string()),
+        "side": pa.array([], type=pa.int32()),
+    }
+)
+
+_ATTACHED_EMPTY = pa.table(
+    {
+        "url": pa.array([], type=pa.string()),
+        "side": pa.array([], type=pa.int32()),
+        "cluster_id": pa.array([], type=pa.string()),
+    }
+)
+
+
+def _tag_side(side: int):
+    def tag(t: pa.Table) -> pa.Table:
+        if "url" not in t.column_names or len(t) == 0:
+            return _SIDED_PAGES_EMPTY
+        return pa.table(
+            {
+                "url": t["url"],
+                "text": pc.fill_null(t["text"], ""),
+                "side": pa.array(np.full(len(t), side, dtype=np.int32)),
+            }
+        )
+
+    return tag
+
+
+def incremental_neardup(
+    base_pages: ray.data.Dataset,
+    new_pages: ray.data.Dataset,
+    cfg: DedupConfig,
+    *,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Verdict per NEW page, cluster semantics (transitive over
+    verified MinHash edges, matching the flagship):
+
+      - its component contains >= 1 base page  -> ``dup_of_base``
+      - else it is the min-url new member      -> ``new``
+        (pages with no verified edge are singletons -> ``new``;
+        zero-shingle texts carry no MinHash signal and stay ``new`` —
+        byte-identical dups belong to the exact layer)
+      - else                                   -> ``dup_in_batch``
+
+    Inputs are pages-shaped Datasets (``url``, ``text`` at minimum;
+    urls must be unique across both sides — run
+    ``sources.pages.dedupe_recrawls`` first on recrawl-y inputs).
+    Returns a Dataset of (url:string, verdict:string), one row per new
+    page.
+    """
+    from dedup_ray.core import hash_strings_u64, partitioned_kernel, segments
+    from dedup_ray.stages.lsh import (
+        _EMPTY_PAIRS,
+        dedupe_pairs,
+        fused_candidate_pairs_incremental,
+        lsh_bands,
+        verify_pairs,
+    )
+    from dedup_ray.stages.minhash import minhash_signatures_stage
+    from dedup_ray.state.unionfind import components_dataset
+
+    P = num_partitions or cfg.num_partitions
+    # side tagging happens per branch so union is the last lazy op
+    # before the signatures map (Ray 2.49 drops the schema of a union's
+    # EMPTY bundles; a map AFTER the union would re-emit them
+    # schema-less — the CLAUDE.md union trap)
+    tagged = base_pages.map_batches(
+        _tag_side(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        new_pages.map_batches(_tag_side(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+    sigs = minhash_signatures_stage(tagged, cfg).materialize()
+    from dedup_ray.core import schema_names
+
+    if "side" not in schema_names(sigs):
+        # zero-row corpus: every upstream block was schema-less and the
+        # minhash stage emitted its canonical (side-less) empty table
+        return ray.data.from_arrow(VERDICTS_EMPTY)
+    bands = lsh_bands(sigs, cfg, passthrough=("side",))
+    fused = fused_candidate_pairs_incremental(bands, cfg, num_partitions=P)
+    pairs = fused.map_batches(
+        lambda t: t.filter(pc.equal(t["meta"], 0)).select(["u_id", "v_id"])
+        if "meta" in t.column_names
+        else _EMPTY_PAIRS,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = dedupe_pairs(pairs, num_partitions=P)
+    edges = verify_pairs(pairs, sigs, cfg, num_partitions=P)
+    comp = components_dataset(edges, num_partitions=P)
+
+    # ---- side attach: ONE url-keyed exchange joining the slim
+    # (url, side) rows with the component map.  Output per url:
+    # side + cluster_id (null when the url has no verified edge).
+    side_rows = sigs.select_columns(["url", "side"]).map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["url"],
+                "side": pc.cast(t["side"], pa.int32()),
+                "cluster_id": pa.nulls(len(t), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    comp_rows = comp.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "side": pa.nulls(len(t), pa.int32()),
+                "cluster_id": t["cluster_id"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def attach_kernel(g: pa.Table) -> pa.Table:
+        nodes = np.array(g["node"].to_pylist(), dtype=object)
+        side_c = g["side"].combine_chunks()
+        side_null = pc.is_null(side_c).to_numpy(zero_copy_only=False)
+        sides = side_c.fill_null(-1).to_numpy(zero_copy_only=False)
+        cl = np.array(g["cluster_id"].to_pylist(), dtype=object)
+        # per url: the side row (side non-null) first, then the comp row
+        order = np.lexsort((side_null, nodes))
+        n_, s_, c_, snull_ = nodes[order], sides[order], cl[order], side_null[order]
+        first = np.ones(len(n_), dtype=bool)
+        first[1:] = n_[1:] != n_[:-1]
+        idx = np.flatnonzero(first)
+        lens = np.diff(np.concatenate([idx, [len(n_)]]))
+        # every url has exactly one side row (sigs are url-unique); the
+        # comp row, when present, is the segment's second row
+        has_comp = lens >= 2
+        if snull_[idx].any():
+            # a comp node with no matching signature row would mean the
+            # edge set referenced a url outside the input pages
+            bad = n_[idx][snull_[idx]][:5]
+            raise AssertionError(f"component nodes without pages rows: {bad!r}")
+        cluster = np.where(has_comp, c_[np.minimum(idx + 1, len(n_) - 1)], None)
+        return pa.table(
+            {
+                "url": pa.array(n_[idx], pa.string()),
+                "side": pa.array(s_[idx].astype(np.int32)),
+                "cluster_id": pa.array(cluster.tolist(), pa.string()),
+            }
+        )
+
+    attached = partitioned_kernel(
+        side_rows.union(comp_rows),
+        lambda t: hash_strings_u64(t["node"].to_pylist()),
+        attach_kernel,
+        num_partitions=P,
+        empty_result=_ATTACHED_EMPTY,
+    )
+
+    # unclustered new pages are 'new' directly — they never enter the
+    # cluster exchange (at scale MOST new pages are unclustered, and a
+    # null cluster key would concentrate them into one partition)
+    def direct_new(t: pa.Table) -> pa.Table:
+        if "side" not in t.column_names or len(t) == 0:
+            return VERDICTS_EMPTY
+        m = pc.and_(pc.equal(t["side"], 1), pc.is_null(t["cluster_id"]))
+        k = t.filter(m)
+        return pa.table(
+            {
+                "url": k["url"],
+                "verdict": pa.array(["new"] * len(k), pa.string()),
+            }
+        )
+
+    def clustered_rows(t: pa.Table) -> pa.Table:
+        if "side" not in t.column_names or len(t) == 0:
+            return _ATTACHED_EMPTY
+        return t.filter(pc.is_valid(t["cluster_id"]))
+
+    direct = attached.map_batches(
+        direct_new, batch_format="pyarrow", zero_copy_batch=True
+    )
+    clustered_in = attached.map_batches(
+        clustered_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # ---- cluster verdicts: ONE cluster-keyed exchange over the
+    # edge-incident rows only
+    def cluster_kernel(g: pa.Table) -> pa.Table:
+        urls = np.array(g["url"].to_pylist(), dtype=object)
+        sides = g["side"].to_numpy(zero_copy_only=False)
+        cl = np.array(g["cluster_id"].to_pylist(), dtype=object)
+        is_new = sides == 1
+        _, inv = np.unique(cl, return_inverse=True)
+        # base rows first per cluster, then new rows, urls ascending —
+        # the first NEW row per segment is the min-url winner
+        order = np.lexsort((urls, is_new, inv))
+        inv_s, new_s = inv[order], is_new[order]
+        starts, lens = segments(inv_s.astype(np.int64))
+        seg_id = np.repeat(np.arange(len(starts)), lens)
+        has_base = np.add.reduceat((~new_s).astype(np.int64), starts) > 0
+        first_new = new_s.copy()
+        first_new[1:] &= ~new_s[:-1] | (seg_id[1:] != seg_id[:-1])
+        verdict = np.where(
+            has_base[seg_id],
+            "dup_of_base",
+            np.where(first_new, "new", "dup_in_batch"),
+        )
+        keep = np.flatnonzero(new_s)
+        if len(keep) == 0:
+            return VERDICTS_EMPTY
+        return pa.table(
+            {
+                "url": pa.array(urls[order][keep].tolist(), pa.string()),
+                "verdict": pa.array(verdict[keep], pa.string()),
+            }
+        )
+
+    clustered = partitioned_kernel(
+        clustered_in,
+        lambda t: hash_strings_u64(t["cluster_id"].to_pylist()),
+        cluster_kernel,
+        num_partitions=P,
+        empty_result=VERDICTS_EMPTY,
+    )
+    # both streams are typed (map over partitioned_kernel outputs whose
+    # empty_result carries the schema), so this union is schema-safe
+    return direct.union(clustered)

@@ -257,25 +257,15 @@ def jaccard_dedup(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-_INCR_MINHASH_EMPTY = pa.table(
-    {
-        "url": pa.array([], type=pa.string()),
-        "verdict": pa.array([], type=pa.string()),
-    }
-)
-
-#: new-shard url prefixes — side is derivable from the url string, so
-#: the verdict stages never need a side-attach exchange
-_NEW_PREFIXES = ("new-", "recrawl-", "second-")
-
-
 def incremental_minhash_dedup(sf_dir: str) -> ray.data.Dataset:
     """Near-dup (MinHash/LSH) dedup of a NEW crawl shard against an
     already-ingested BASE corpus — the near-dup counterpart of
     ``incremental_exact_dedup`` (the reference HashDbObj analog, A5):
     a recrawl must not re-admit content the corpus already holds *even
     when the bytes changed slightly*, and must still near-dedupe within
-    itself.
+    itself.  Thin scenario wrapper over the general two-dataset API
+    ``pipelines/incremental.incremental_neardup`` (verdict semantics,
+    scale shape and the base-x-base skip are documented there).
 
     Scenario (deterministic, synthesized from ``documents``): the base
     corpus is every source except ``src1``; the incoming shard is
@@ -283,209 +273,64 @@ def incremental_minhash_dedup(sf_dir: str) -> ray.data.Dataset:
       - a light rewrite of every ``src0`` page (urls ``recrawl-…``,
         text + a short appended suffix) — near-dups of base content
       - a second light rewrite of ``src1`` (urls ``second-…``) —
-        near-dups of rows inside the same batch
-
-    Verdict per new row, CLUSTER semantics (transitive over verified
-    edges, matching the flagship):
-      - its component contains >= 1 base doc   -> ``dup_of_base``
-      - else it is the min-url new member      -> ``new``
-        (docs with no verified edge are singleton components -> new;
-        short/empty texts yield zero shingles and stay ``new`` — the
-        exact layer owns byte-identical dups)
-      - else                                   -> ``dup_in_batch``
-
-    Scale shape: at 10^12 docs the base side's band rows come straight
-    from the banded-signature checkpoint (never re-shingled — only the
-    new shard is hashed fresh); candidate pairs come from ONE exchange
-    through a SIDE-AWARE bucket kernel that never emits base x base
-    pairs (``stages/lsh.fused_candidate_pairs_incremental`` — provably
-    verdict-neutral, see its docstring), hot buckets salted + logged
-    like the flagship; verification and the two verdict stages are the
-    flagship's keyed semi-join exchanges.  Nothing is collected on the
-    driver."""
-    import numpy as np
-
-    from dedup_ray.core import (
-        hash_strings_u64,
-        parquet_num_rows,
-        partitioned_kernel,
-        segments,
-    )
-    from dedup_ray.stages.lsh import (
-        _EMPTY_PAIRS,
-        dedupe_pairs,
-        fused_candidate_pairs_incremental,
-        verify_pairs,
-    )
-    from dedup_ray.state.unionfind import components_dataset
+        near-dups of rows inside the same batch"""
+    from dedup_ray.core import parquet_num_rows
+    from dedup_ray.pipelines.incremental import VERDICTS_EMPTY, incremental_neardup
 
     if parquet_num_rows(f"{sf_dir}/documents.parquet") == 0:
         # 0-row blocks bypass map_batches and would strip the typed
         # empty schema — same short-circuit as dedup_full_exact_layer
-        return ray.data.from_arrow(_INCR_MINHASH_EMPTY)
+        return ray.data.from_arrow(VERDICTS_EMPTY)
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
-
     _PAGES_EMPTY = pa.table(
-        {
-            "url": pa.array([], type=pa.string()),
-            "text": pa.array([], type=pa.string()),
-            "side": pa.array([], type=pa.int32()),
-        }
+        {"url": pa.array([], pa.string()), "text": pa.array([], pa.string())}
     )
+    sep = pa.scalar("", pa.string())
 
-    def build(t: pa.Table) -> pa.Table:
-        if len(t) == 0 or "doc_id" not in t.column_names:
-            return _PAGES_EMPTY
-        urls = pc.cast(t["doc_id"], pa.string())
-        text = pc.fill_null(t["text"], "")
-        src = t["source"]
-        is_s1 = pc.fill_null(pc.equal(src, "src1"), False)
-        is_s0 = pc.fill_null(pc.equal(src, "src0"), False)
-        sep = pa.scalar("", pa.string())
-
-        def prefixed(mask, prefix: str, suffix: str) -> pa.Table:
-            u = urls.filter(mask)
-            x = text.filter(mask)
-            return pa.table(
-                {
-                    "url": pc.binary_join_element_wise(
-                        pa.scalar(prefix, pa.string()), u, sep
-                    ),
-                    "text": pc.binary_join_element_wise(
-                        x, pa.scalar(suffix, pa.string()), sep
-                    ),
-                    "side": pa.array(np.ones(len(u), dtype=np.int32)),
-                }
-            )
-
-        base_mask = pc.invert(is_s1)
-        base = pa.table(
+    def _prefixed(t: pa.Table, mask, prefix: str, suffix: str) -> pa.Table:
+        urls = pc.cast(t["doc_id"], pa.string()).filter(mask)
+        text = pc.fill_null(t["text"], "").filter(mask)
+        return pa.table(
             {
-                "url": urls.filter(base_mask),
-                "text": text.filter(base_mask),
-                "side": pa.array(
-                    np.zeros(int(pc.sum(base_mask).as_py() or 0), dtype=np.int32)
+                "url": pc.binary_join_element_wise(
+                    pa.scalar(prefix, pa.string()), urls, sep
+                ),
+                "text": pc.binary_join_element_wise(
+                    text, pa.scalar(suffix, pa.string()), sep
                 ),
             }
         )
+
+    def build_base(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "doc_id" not in t.column_names:
+            return _PAGES_EMPTY
+        keep = pc.invert(pc.fill_null(pc.equal(t["source"], "src1"), False))
+        return pa.table(
+            {
+                "url": pc.cast(t["doc_id"], pa.string()).filter(keep),
+                "text": pc.fill_null(t["text"], "").filter(keep),
+            }
+        )
+
+    def build_new(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "doc_id" not in t.column_names:
+            return _PAGES_EMPTY
+        is_s1 = pc.fill_null(pc.equal(t["source"], "src1"), False)
+        is_s0 = pc.fill_null(pc.equal(t["source"], "src0"), False)
         return pa.concat_tables(
             [
-                base,
-                prefixed(is_s1, "new-", ""),
-                prefixed(is_s0, "recrawl-", " incremental recrawl fetch pass"),
-                prefixed(is_s1, "second-", " second fetch of the same batch"),
+                _prefixed(t, is_s1, "new-", ""),
+                _prefixed(t, is_s0, "recrawl-", " incremental recrawl fetch pass"),
+                _prefixed(t, is_s1, "second-", " second fetch of the same batch"),
             ]
         )
 
-    pages = docs.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
-    cfg = DEFAULT_CONFIG
-    sigs = minhash_signatures_stage(pages, cfg).materialize()
-    bands = lsh_bands(sigs, cfg, passthrough=("side",))
-    fused = fused_candidate_pairs_incremental(
-        bands, cfg, num_partitions=cfg.num_partitions
-    )
-    pairs = fused.map_batches(
-        lambda t: t.filter(pc.equal(t["meta"], 0)).select(["u_id", "v_id"])
-        if "meta" in t.column_names
-        else _EMPTY_PAIRS,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    pairs = dedupe_pairs(pairs, num_partitions=cfg.num_partitions)
-    edges = verify_pairs(pairs, sigs, cfg, num_partitions=cfg.num_partitions)
-    comp = components_dataset(edges, num_partitions=cfg.num_partitions)
-
-    def _is_new_mask(node_col: pa.ChunkedArray) -> np.ndarray:
-        m = pc.starts_with(node_col, pattern=_NEW_PREFIXES[0])
-        for p in _NEW_PREFIXES[1:]:
-            m = pc.or_(m, pc.starts_with(node_col, pattern=p))
-        return m.to_numpy(zero_copy_only=False)
-
-    # stage 1: per-cluster verdicts for edge-incident new docs (one
-    # cluster-keyed exchange over the slim (node, cluster_id) rows)
-    def cluster_kernel(g: pa.Table) -> pa.Table:
-        nodes = np.array(g["node"].to_pylist(), dtype=object)
-        cl = np.array(g["cluster_id"].to_pylist(), dtype=object)
-        is_new = _is_new_mask(g["node"].combine_chunks())
-        _, inv = np.unique(cl, return_inverse=True)
-        # base rows first per cluster, then new rows, urls ascending —
-        # the first NEW row per segment is the min-url winner
-        order = np.lexsort((nodes, is_new, inv))
-        inv_s, new_s = inv[order], is_new[order]
-        starts, lens = segments(inv_s.astype(np.int64))
-        seg_id = np.repeat(np.arange(len(starts)), lens)
-        has_base = np.add.reduceat((~new_s).astype(np.int64), starts) > 0
-        first_new = new_s.copy()
-        first_new[1:] &= ~new_s[:-1] | (seg_id[1:] != seg_id[:-1])
-        verdict = np.where(
-            has_base[seg_id],
-            "dup_of_base",
-            np.where(first_new, "new", "dup_in_batch"),
-        )
-        keep = np.flatnonzero(new_s)
-        if len(keep) == 0:
-            return _INCR_MINHASH_EMPTY
-        return pa.table(
-            {
-                "url": pa.array(nodes[order][keep].tolist(), pa.string()),
-                "verdict": pa.array(verdict[keep], pa.string()),
-            }
-        )
-
-    clustered = partitioned_kernel(
-        comp,
-        lambda t: hash_strings_u64(t["cluster_id"].to_pylist()),
-        cluster_kernel,
-        num_partitions=cfg.num_partitions,
-        empty_result=_INCR_MINHASH_EMPTY,
-    )
-
-    # stage 2: merge with the full new-shard url set — docs without a
-    # verified edge default to 'new' (one url-keyed exchange)
-    new_nodes = pages.map_batches(
-        lambda t: pa.table(
-            {
-                "url": t.filter(pc.equal(t["side"], 1))["url"],
-                "verdict": pa.nulls(
-                    int(pc.sum(pc.equal(t["side"], 1)).as_py() or 0), pa.string()
-                ),
-            }
-        )
-        if "side" in t.column_names
-        else _INCR_MINHASH_EMPTY,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-
-    def merge_kernel(g: pa.Table) -> pa.Table:
-        urls = np.array(g["url"].to_pylist(), dtype=object)
-        v = g["verdict"].combine_chunks()
-        isnull = pc.is_null(v).to_numpy(zero_copy_only=False)
-        verd = np.array(v.to_pylist(), dtype=object)
-        order = np.lexsort((isnull, urls))  # verdict row (if any) first
-        u_s, v_s, null_s = urls[order], verd[order], isnull[order]
-        first = np.ones(len(u_s), dtype=bool)
-        first[1:] = u_s[1:] != u_s[:-1]
-        idx = np.flatnonzero(first)
-        out = np.where(null_s[idx], "new", v_s[idx])
-        return pa.table(
-            {
-                "url": pa.array(u_s[idx], pa.string()),
-                "verdict": pa.array(out.tolist(), pa.string()),
-            }
-        )
-
-    tall = new_nodes.union(clustered)
-    return partitioned_kernel(
-        tall,
-        lambda t: hash_strings_u64(t["url"].to_pylist()),
-        merge_kernel,
-        num_partitions=cfg.num_partitions,
-        empty_result=_INCR_MINHASH_EMPTY,
-    )
+    base = docs.map_batches(build_base, batch_format="pyarrow", zero_copy_batch=True)
+    new = docs.map_batches(build_new, batch_format="pyarrow", zero_copy_batch=True)
+    return incremental_neardup(base, new, DEFAULT_CONFIG)
 
 
 def sample_pages(sf_dir: str) -> ray.data.Dataset:

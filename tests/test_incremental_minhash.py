@@ -128,6 +128,68 @@ def test_incremental_pair_kernel_skips_base_pairs(ray_session):
             assert int(ids[i]) in seen
 
 
+def test_incremental_neardup_two_dataset_api(ray_session):
+    """The general library API takes arbitrary base/new page Datasets
+    (no scenario synthesis, no url-prefix assumption)."""
+    import ray.data
+
+    from dedup_ray.pipelines.incremental import incremental_neardup
+
+    base = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["b/corpus-1", "b/corpus-2"], pa.string()),
+                "text": pa.array([_text("one"), _text("two")], pa.string()),
+            }
+        )
+    )
+    new = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["a/rewrite-1", "a/fresh", "z/fresh-copy"], pa.string()),
+                "text": pa.array(
+                    [_text("one") + " light rewrite", _text("unique"), _text("unique")],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = incremental_neardup(new_pages=new, base_pages=base, cfg=DEFAULT_CONFIG)
+    got = dict(zip(*(lambda d: (d["url"], d["verdict"]))(out.to_pandas())))
+    assert got == {
+        "a/rewrite-1": "dup_of_base",
+        "a/fresh": "new",           # min url of the identical pair
+        "z/fresh-copy": "dup_in_batch",
+    }
+
+
+def test_incremental_neardup_empty_base_first_crawl(ray_session):
+    """Empty base corpus (first crawl): pure within-batch near-dedup."""
+    import ray.data
+
+    from dedup_ray.pipelines.incremental import incremental_neardup
+
+    base = ray.data.from_arrow(
+        pa.table(
+            {"url": pa.array([], pa.string()), "text": pa.array([], pa.string())}
+        )
+    )
+    new = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["n1", "n2", "n3"], pa.string()),
+                "text": pa.array(
+                    [_text("dup"), _text("dup") + " tail", _text("solo")],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = incremental_neardup(base, new, DEFAULT_CONFIG).to_pandas()
+    got = dict(zip(out["url"], out["verdict"]))
+    assert got == {"n1": "new", "n2": "dup_in_batch", "n3": "new"}
+
+
 def test_incremental_minhash_empty_corpus(ray_session, tmp_path):
     pq.write_table(
         pa.table(
