@@ -74,6 +74,18 @@ def main(argv: list[str] | None = None) -> int:
         "need this (semantic: flipping it invalidates checkpoints)",
     )
     p.add_argument(
+        "--incremental-base",
+        default=None,
+        metavar="PATH",
+        help="incremental mode: treat --input as a NEW crawl shard and "
+        "near-dedup it against the already-ingested base corpus at "
+        "PATH (same format as --input).  Emits per-new-page verdicts "
+        "(new / dup_of_base / dup_in_batch, cluster semantics) under "
+        "OUT/incremental_verdicts instead of running the flagship — "
+        "base x base pairs are never generated (the corpus is not "
+        "re-deduped).  Report-only, like every mode",
+    )
+    p.add_argument(
         "--on-bad-lines",
         choices=("error", "skip"),
         default="error",
@@ -161,6 +173,53 @@ def main(argv: list[str] | None = None) -> int:
             return ds.map_batches(
                 set_priority, batch_format="pyarrow", zero_copy_batch=True
             )
+
+    if args.incremental_base:
+        if not os.path.exists(args.incremental_base):
+            p.error(f"--incremental-base path does not exist: {args.incremental_base}")
+        from dedup_ray.pipelines.incremental import incremental_neardup
+        from dedup_ray.sources.pages import read_pages_parquet
+        from dedup_ray.stages.extract import extract_text
+
+        def _load(path):
+            if pages_loader is not None:
+                return pages_loader(path)
+            return extract_text(read_pages_parquet(path))
+
+        verdicts = incremental_neardup(
+            _load(args.incremental_base), _load(args.input), cfg
+        )
+        out_dir = f"{args.out}/incremental_verdicts"
+        os.makedirs(args.out, exist_ok=True)
+        write_assignments_parquet(verdicts, out_dir, partition_cols=["verdict"])
+        # per-verdict counts from the written footers (metadata-only;
+        # the verdict table itself is never collected on the driver)
+        import pyarrow.parquet as pq
+
+        counts: dict[str, int] = {}
+        for root, _dirs, files in os.walk(out_dir):
+            part = os.path.basename(root)
+            if not part.startswith("verdict="):
+                continue
+            v = part.split("=", 1)[1]
+            counts[v] = counts.get(v, 0) + sum(
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for f in files
+                if f.endswith(".parquet")
+            )
+        summary = {
+            "mode": "incremental",
+            "config_hash": cfg.config_hash(),
+            "base": args.incremental_base,
+            "n_new_pages": sum(counts.values()),
+            "verdicts": {
+                k: counts.get(k, 0) for k in ("new", "dup_of_base", "dup_in_batch")
+            },
+            "output": out_dir,
+        }
+        print(json.dumps(summary, indent=1))
+        ray.shutdown()
+        return 0
 
     assignments, report = run_flagship_checkpointed(
         args.input,
