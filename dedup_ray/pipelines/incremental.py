@@ -178,6 +178,16 @@ def incremental_neardup(
             # edge set referenced a url outside the input pages
             bad = n_[idx][snull_[idx]][:5]
             raise AssertionError(f"component nodes without pages rows: {bad!r}")
+        # loud unique-url guard (the documented precondition): a dup'd
+        # url would silently swallow its verdict below — fail instead
+        n_side = np.add.reduceat((~snull_).astype(np.int64), idx)
+        if (n_side > 1).any():
+            bad = n_[idx][n_side > 1][:5]
+            raise AssertionError(
+                f"duplicate urls across base/new inputs: {bad!r} — "
+                "urls are the identity key; run sources.pages."
+                "dedupe_recrawls on each side first"
+            )
         cluster = np.where(has_comp, c_[np.minimum(idx + 1, len(n_) - 1)], None)
         return pa.table(
             {

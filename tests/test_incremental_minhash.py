@@ -190,6 +190,25 @@ def test_incremental_neardup_empty_base_first_crawl(ray_session):
     assert got == {"n1": "new", "n2": "dup_in_batch", "n3": "new"}
 
 
+def test_incremental_neardup_rejects_duplicate_urls(ray_session):
+    """urls are the identity key; a url present on both sides (or
+    twice on one side) must fail loudly, not drop its verdict."""
+    import ray.data
+
+    from dedup_ray.pipelines.incremental import incremental_neardup
+
+    t = pa.table(
+        {
+            "url": pa.array(["same-url"], pa.string()),
+            "text": pa.array([_text("x")], pa.string()),
+        }
+    )
+    with pytest.raises(Exception, match="duplicate urls"):
+        incremental_neardup(
+            ray.data.from_arrow(t), ray.data.from_arrow(t), DEFAULT_CONFIG
+        ).to_pandas()
+
+
 def test_incremental_minhash_empty_corpus(ray_session, tmp_path):
     pq.write_table(
         pa.table(
