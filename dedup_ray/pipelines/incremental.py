@@ -68,10 +68,11 @@ def _tag_side(side: int):
 
 
 def incremental_neardup(
-    base_pages: ray.data.Dataset,
+    base_pages: ray.data.Dataset | None,
     new_pages: ray.data.Dataset,
     cfg: DedupConfig,
     *,
+    base_signatures: ray.data.Dataset | None = None,
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Verdict per NEW page, cluster semantics (transitive over
@@ -89,6 +90,13 @@ def incremental_neardup(
     ``sources.pages.dedupe_recrawls`` first on recrawl-y inputs).
     Returns a Dataset of (url:string, verdict:string), one row per new
     page.
+
+    ``base_signatures`` is the PRODUCTION base side: pass the
+    flagship's checkpointed signature table (``signatures/`` Parquet —
+    ``url``, ``n_shingles``, ``minhash`` at minimum; must have been
+    built with the SAME shingle/signature config) and the base corpus
+    is never re-shingled — only the new shard is hashed.  Mutually
+    exclusive with ``base_pages``.
     """
     from dedup_ray.core import hash_strings_u64, partitioned_kernel, segments
     from dedup_ray.stages.lsh import (
@@ -101,22 +109,74 @@ def incremental_neardup(
     from dedup_ray.stages.minhash import minhash_signatures_stage
     from dedup_ray.state.unionfind import components_dataset
 
+    if (base_pages is None) == (base_signatures is None):
+        raise ValueError("pass exactly one of base_pages / base_signatures")
     P = num_partitions or cfg.num_partitions
-    # side tagging happens per branch so union is the last lazy op
-    # before the signatures map (Ray 2.49 drops the schema of a union's
-    # EMPTY bundles; a map AFTER the union would re-emit them
-    # schema-less — the CLAUDE.md union trap)
-    tagged = base_pages.map_batches(
-        _tag_side(0), batch_format="pyarrow", zero_copy_batch=True
-    ).union(
-        new_pages.map_batches(_tag_side(1), batch_format="pyarrow", zero_copy_batch=True)
+
+    _SIG_EMPTY = pa.table(
+        {
+            "url": pa.array([], type=pa.string()),
+            "n_shingles": pa.array([], type=pa.int64()),
+            "minhash": pa.array([], type=pa.list_(pa.uint64(), cfg.num_perms)),
+            "side": pa.array([], type=pa.int32()),
+        }
     )
-    sigs = minhash_signatures_stage(tagged, cfg).materialize()
+
+    def _norm_sigs(side: int):
+        """Project both signature branches to one column set so the
+        union is schema-stable (checkpointed base sigs carry extra
+        flagship columns; freshly computed ones carry simhash64)."""
+
+        def norm(t: pa.Table) -> pa.Table:
+            if "url" not in t.column_names or len(t) == 0:
+                return _SIG_EMPTY
+            mh = t["minhash"].combine_chunks()
+            if not pa.types.is_fixed_size_list(mh.type):
+                # a parquet checkpoint round-trip can degrade the
+                # fixed_size_list to a plain list; re-fix it so the
+                # branch schemas agree at the union
+                mh = pa.FixedSizeListArray.from_arrays(
+                    pc.cast(mh.flatten(), pa.uint64()), cfg.num_perms
+                )
+            return pa.table(
+                {
+                    "url": t["url"],
+                    "n_shingles": pc.cast(t["n_shingles"], pa.int64()),
+                    "minhash": mh,
+                    "side": pa.array(np.full(len(t), side, dtype=np.int32)),
+                }
+            )
+
+        return norm
+
+    if base_signatures is not None:
+        base_sigs = base_signatures
+    else:
+        base_sigs = minhash_signatures_stage(
+            base_pages.map_batches(
+                _tag_side(0), batch_format="pyarrow", zero_copy_batch=True
+            ),
+            cfg,
+        )
+    new_sigs = minhash_signatures_stage(
+        new_pages.map_batches(
+            _tag_side(1), batch_format="pyarrow", zero_copy_batch=True
+        ),
+        cfg,
+    )
+    # normalization happens per branch so union is the last lazy op
+    # before downstream maps (Ray 2.49 drops the schema of a union's
+    # EMPTY bundles — the CLAUDE.md union trap); both branches emit the
+    # identical typed empty on schema-less input
+    sigs = base_sigs.map_batches(
+        _norm_sigs(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        new_sigs.map_batches(_norm_sigs(1), batch_format="pyarrow", zero_copy_batch=True)
+    ).materialize()
     from dedup_ray.core import schema_names
 
     if "side" not in schema_names(sigs):
-        # zero-row corpus: every upstream block was schema-less and the
-        # minhash stage emitted its canonical (side-less) empty table
+        # zero-row corpus: every upstream block was schema-less
         return ray.data.from_arrow(VERDICTS_EMPTY)
     bands = lsh_bands(sigs, cfg, passthrough=("side",))
     fused = fused_candidate_pairs_incremental(bands, cfg, num_partitions=P)

@@ -190,6 +190,51 @@ def test_incremental_neardup_empty_base_first_crawl(ray_session):
     assert got == {"n1": "new", "n2": "dup_in_batch", "n3": "new"}
 
 
+def test_incremental_neardup_from_signature_checkpoint(ray_session, tmp_path):
+    """The production base side: a parquet-roundtripped signature
+    table (never re-shingled) must yield verdicts identical to
+    recomputing from base pages."""
+    import ray.data
+
+    from dedup_ray.pipelines.incremental import incremental_neardup
+    from dedup_ray.stages.minhash import minhash_signatures_stage
+
+    base = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["b1", "b2"], pa.string()),
+                "text": pa.array([_text("one"), _text("two")], pa.string()),
+            }
+        )
+    )
+    new = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["n1", "n2"], pa.string()),
+                "text": pa.array(
+                    [_text("one") + " rewrite", _text("three")], pa.string()
+                ),
+            }
+        )
+    )
+    from_pages = incremental_neardup(base, new, DEFAULT_CONFIG).to_pandas()
+    # checkpoint the base signatures through parquet (the flagship's
+    # signatures/ stage shape) and feed them back
+    sig_dir = str(tmp_path / "signatures")
+    minhash_signatures_stage(base, DEFAULT_CONFIG).write_parquet(sig_dir)
+    base_sigs = ray.data.read_parquet(sig_dir)
+    from_ckpt = incremental_neardup(
+        None, new, DEFAULT_CONFIG, base_signatures=base_sigs
+    ).to_pandas()
+    a = dict(zip(from_pages["url"], from_pages["verdict"]))
+    b = dict(zip(from_ckpt["url"], from_ckpt["verdict"]))
+    assert a == b == {"n1": "dup_of_base", "n2": "new"}
+    with pytest.raises(ValueError, match="exactly one"):
+        incremental_neardup(base, new, DEFAULT_CONFIG, base_signatures=base_sigs)
+    with pytest.raises(ValueError, match="exactly one"):
+        incremental_neardup(None, new, DEFAULT_CONFIG)
+
+
 def test_incremental_neardup_rejects_duplicate_urls(ray_session):
     """urls are the identity key; a url present on both sides (or
     twice on one side) must fail loudly, not drop its verdict."""
