@@ -21,6 +21,8 @@ Scale shape (10^12 base docs):
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -50,6 +52,34 @@ _ATTACHED_EMPTY = pa.table(
         "cluster_id": pa.array([], type=pa.string()),
     }
 )
+
+
+#: deduped candidate pairs up to this count have their incident doc_id
+#: set broadcast (2 x 8 B per pair -> <=64 MB at the cap) to filter the
+#: signature table map-side before the verify exchange; larger shards
+#: fall back to the exchange semi-join (see the gate comment below)
+INCIDENT_BROADCAST_MAX_PAIRS = 4_000_000
+
+
+@functools.lru_cache(maxsize=8)
+def _worker_incident(incident_ref) -> np.ndarray:
+    """Per-worker-process singleton keyed on the broadcast ObjectRef
+    (lsh._worker_salter's pattern)."""
+    return ray.get(incident_ref)
+
+
+def _filter_incident(t: pa.Table, incident_ref, empty: pa.Table) -> pa.Table:
+    if "url" not in t.column_names or len(t) == 0:
+        return empty
+    from dedup_ray.util import ensure_doc_ids
+
+    incident = _worker_incident(incident_ref)
+    if len(incident) == 0:
+        return empty
+    ids = ensure_doc_ids(t)["doc_id"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(incident, ids)
+    pos = np.minimum(pos, len(incident) - 1)
+    return t.filter(pa.array(incident[pos] == ids))
 
 
 def _tag_side(side: int):
@@ -187,8 +217,46 @@ def incremental_neardup(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    pairs = dedupe_pairs(pairs, num_partitions=P)
-    edges = verify_pairs(pairs, sigs, cfg, num_partitions=P)
+    pairs = dedupe_pairs(pairs, num_partitions=P).materialize()
+    # ---- size-gated incident filter: the verify semi-join ships every
+    # signature row (~1 KB/doc) through its attach exchange — right for
+    # the full dedup, where pair-incident docs are a large fraction of
+    # the corpus, but corpus-scale waste here, where incident docs are
+    # SHARD-scale (every pair touches a new doc).  When the deduped
+    # pair set is small enough, broadcast its incident doc_id set
+    # (ray.put once, sorted-searchsorted probe per batch) and drop
+    # non-incident signatures map-side, so the heavy exchange moves
+    # only shard-scale payload.  Past the gate (a shard so large its
+    # incident set is not broadcastable), fall back to the plain
+    # exchange semi-join — correct at any size, same as the flagship.
+    # Measured (600k base / 30k shard, 32 cpus): 40.6 s -> see
+    # BENCH/BASELINE.md "incremental capacity datapoint".
+    if pairs.count() <= INCIDENT_BROADCAST_MAX_PAIRS:
+        id_parts = [
+            np.concatenate(
+                [
+                    b["u_id"].to_numpy(zero_copy_only=False),
+                    b["v_id"].to_numpy(zero_copy_only=False),
+                ]
+            )
+            for b in pairs.iter_batches(batch_format="pyarrow", batch_size=65536)
+            if "u_id" in b.column_names and len(b)
+        ]
+        incident = (
+            np.unique(np.concatenate(id_parts))
+            if id_parts
+            else np.empty(0, dtype=np.int64)
+        )
+        incident_ref = ray.put(incident)
+        sigs_verify = sigs.map_batches(
+            _filter_incident,
+            fn_kwargs={"incident_ref": incident_ref, "empty": _SIG_EMPTY},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    else:
+        sigs_verify = sigs
+    edges = verify_pairs(pairs, sigs_verify, cfg, num_partitions=P)
     comp = components_dataset(edges, num_partitions=P)
 
     # ---- side attach: ONE url-keyed exchange joining the slim

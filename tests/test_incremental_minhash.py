@@ -235,6 +235,49 @@ def test_incremental_neardup_from_signature_checkpoint(ray_session, tmp_path):
         incremental_neardup(None, new, DEFAULT_CONFIG)
 
 
+def test_incremental_incident_gate_fallback_parity(ray_session, monkeypatch):
+    """The size-gated incident broadcast (filter signatures map-side
+    before the verify exchange) must be bit-identical to the ungated
+    exchange semi-join."""
+    import ray.data
+
+    from dedup_ray.pipelines import incremental as inc
+
+    base = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([f"b{i}" for i in range(30)], pa.string()),
+                "text": pa.array([_text(f"b{i % 7}") for i in range(30)], pa.string()),
+            }
+        )
+    )
+    new = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([f"n{i}" for i in range(12)], pa.string()),
+                "text": pa.array(
+                    [
+                        _text(f"b{i % 7}") + " tail"
+                        if i % 2 == 0
+                        # i=1,3: a base-free near-dup pair (one 'new',
+                        # one 'dup_in_batch'); other odds: singletons
+                        else (_text("batchdup") if i in (1, 3) else _text(f"n{i}"))
+                        for i in range(12)
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    gated = inc.incremental_neardup(base, new, DEFAULT_CONFIG).to_pandas()
+    monkeypatch.setattr(inc, "INCIDENT_BROADCAST_MAX_PAIRS", 0)
+    ungated = inc.incremental_neardup(base, new, DEFAULT_CONFIG).to_pandas()
+    a = sorted(zip(gated["url"], gated["verdict"]))
+    b = sorted(zip(ungated["url"], ungated["verdict"]))
+    assert a == b
+    assert {v for _, v in a} == {"new", "dup_of_base", "dup_in_batch"}
+
+
 def test_incremental_neardup_rejects_duplicate_urls(ray_session):
     """urls are the identity key; a url present on both sides (or
     twice on one side) must fail loudly, not drop its verdict."""
