@@ -97,12 +97,190 @@ def _tag_side(side: int):
     return tag
 
 
+def write_band_checkpoint(
+    base_signatures: ray.data.Dataset,
+    cfg: DedupConfig,
+    out_dir: str,
+    *,
+    num_partitions: int | None = None,
+) -> None:
+    """Persist the base corpus's LSH band rows BUCKET-HASH-PARTITIONED
+    so an incremental run moves only the new shard's band rows: each
+    reduce task of the candidate exchange reads its base partition
+    straight from disk (``base_bands=`` on ``incremental_neardup``)
+    instead of re-banding and re-exchanging the corpus per shard.
+    Written atomically (.tmp + rename) with a manifest pinning the
+    banding config + partition count — a mismatched reader raises.
+    """
+    import json
+    import os
+    import shutil
+
+    from dedup_ray.core import numeric_key_u64, partitioned_kernel
+    from dedup_ray.stages.lsh import _BUCKET_KEY_COLS, lsh_bands
+
+    P = num_partitions or cfg.num_partitions
+    bands = lsh_bands(base_signatures, cfg)
+
+    _BANDS_EMPTY = pa.table(
+        {
+            "band_id": pa.array([], pa.int32()),
+            "band_hash": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "part": pa.array([], pa.int64()),
+        }
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        if "band_id" not in t.column_names or len(t) == 0:
+            return _BANDS_EMPTY
+        h = numeric_key_u64(t, _BUCKET_KEY_COLS)
+        return t.append_column(
+            "part", pa.array((h % np.uint64(P)).astype(np.int64))
+        )
+
+    # co-locate each part's rows in ONE block before the partitioned
+    # write, so every part=p directory holds a handful of contiguous
+    # files instead of per-upstream-block slivers (measured: 200
+    # files/partition at 600k docs; reduce tasks pay per-file opens).
+    # partitioned_kernel's P-adaptivity only changes BLOCK count — the
+    # part VALUES (hive dirs) are % P regardless, so the manifest's P
+    # always matches the directory layout.
+    parted = partitioned_kernel(
+        bands.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True),
+        lambda t: t["part"].to_numpy(zero_copy_only=False).view(np.uint64),
+        lambda g: g,
+        num_partitions=P,
+        empty_result=_BANDS_EMPTY,
+    )
+    tmp = out_dir.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    parted.write_parquet(
+        f"{tmp}/bands", partition_cols=["part"], min_rows_per_file=1_000_000
+    )
+    os.makedirs(f"{tmp}/bands", exist_ok=True)
+    with open(f"{tmp}/manifest.json", "w") as f:
+        json.dump(
+            {
+                "num_partitions": P,
+                "bands": cfg.bands,
+                "rows_per_band": cfg.rows_per_band,
+                "num_perms": cfg.num_perms,
+                "seed": cfg.seed,
+                "shingle_k": cfg.shingle_k,
+            },
+            f,
+        )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp, out_dir)
+
+
+def _read_base_part(files: list[str]) -> list[pa.Table]:
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in files:
+        t = pq.read_table(f, columns=["band_id", "band_hash", "doc_id"])
+        if len(t):
+            out.append(
+                t.append_column("side", pa.array(np.zeros(len(t), np.int32)))
+            )
+    return out
+
+
+def _reduce_with_base_part(kernel, empty: pa.Table, files: list[str], *parts):
+    tbls = _read_base_part(files) + [
+        t for t in parts if t is not None and len(t) > 0
+    ]
+    if not tbls:
+        return empty
+    g = pa.concat_tables(tbls, promote_options="default")
+    out = kernel(g)
+    return out if len(out) else empty
+
+
+def _fused_pairs_from_band_checkpoint(
+    new_bands: ray.data.Dataset, ckpt_dir: str, cfg: DedupConfig
+) -> ray.data.Dataset:
+    """The candidate exchange with the base side DISK-RESIDENT: only
+    new band rows are split/shuffled (by the same bucket-hash key the
+    checkpoint was partitioned on); reduce task p concats its base
+    parquet partition with its new slices and runs the literal
+    ``incremental_pair_kernel``.  At 10^12 base docs this removes the
+    corpus's band rows from the per-shard exchange entirely."""
+    import glob
+    import json
+
+    from dedup_ray.core import _split_block, numeric_key_u64
+    from dedup_ray.stages.lsh import (
+        _BUCKET_KEY_COLS,
+        _FUSED_EMPTY,
+        incremental_pair_kernel,
+    )
+
+    with open(f"{ckpt_dir}/manifest.json") as f:
+        man = json.load(f)
+    expect = {
+        "bands": cfg.bands,
+        "rows_per_band": cfg.rows_per_band,
+        "num_perms": cfg.num_perms,
+        "seed": cfg.seed,
+        "shingle_k": cfg.shingle_k,
+    }
+    diff = {k: (man.get(k), v) for k, v in expect.items() if man.get(k) != v}
+    if diff:
+        raise ValueError(
+            f"band checkpoint {ckpt_dir} was built under a different "
+            f"signature config (checkpoint vs current): {diff}"
+        )
+    P = int(man["num_partitions"])
+    kernel = incremental_pair_kernel(cfg)
+    mat = new_bands.materialize()
+    block_refs = list(mat.to_arrow_refs())
+    part_files = {
+        p: sorted(glob.glob(f"{ckpt_dir}/bands/part={p}/*.parquet"))
+        for p in range(P)
+    }
+    reduce = ray.remote(_reduce_with_base_part)
+    if not block_refs or mat.count() == 0:
+        out_refs = [
+            reduce.remote(kernel, _FUSED_EMPTY, part_files[p]) for p in range(P)
+        ]
+        return ray.data.from_arrow_refs(out_refs)
+    if P == 1:
+        # num_returns=1 yields a bare ref, not a list — skip the split
+        return ray.data.from_arrow_refs(
+            [
+                reduce.remote(
+                    kernel,
+                    _FUSED_EMPTY,
+                    part_files[0],
+                    *[r for r in block_refs],
+                )
+            ]
+        )
+    n_split = min(64, len(block_refs))
+    groups = [block_refs[i::n_split] for i in range(n_split)]
+    split = ray.remote(num_returns=P)(_split_block)
+
+    def key_fn(t: pa.Table) -> np.ndarray:
+        return numeric_key_u64(t, _BUCKET_KEY_COLS)
+
+    split_refs = [split.remote(key_fn, P, *grp) for grp in groups]
+    out_refs = []
+    for p in range(P):
+        parts = [s[p] for s in split_refs]
+        out_refs.append(reduce.remote(kernel, _FUSED_EMPTY, part_files[p], *parts))
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def incremental_neardup(
     base_pages: ray.data.Dataset | None,
     new_pages: ray.data.Dataset,
     cfg: DedupConfig,
     *,
     base_signatures: ray.data.Dataset | None = None,
+    base_bands: str | None = None,
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Verdict per NEW page, cluster semantics (transitive over
@@ -141,6 +319,11 @@ def incremental_neardup(
 
     if (base_pages is None) == (base_signatures is None):
         raise ValueError("pass exactly one of base_pages / base_signatures")
+    if base_bands is not None and base_signatures is None:
+        raise ValueError(
+            "base_bands requires base_signatures (verification still "
+            "attaches base signatures to candidate pairs)"
+        )
     P = num_partitions or cfg.num_partitions
 
     _SIG_EMPTY = pa.table(
@@ -208,8 +391,22 @@ def incremental_neardup(
     if "side" not in schema_names(sigs):
         # zero-row corpus: every upstream block was schema-less
         return ray.data.from_arrow(VERDICTS_EMPTY)
-    bands = lsh_bands(sigs, cfg, passthrough=("side",))
-    fused = fused_candidate_pairs_incremental(bands, cfg, num_partitions=P)
+    if base_bands is not None:
+        # disk-resident base band rows: band + exchange ONLY the new
+        # shard's rows; reduce tasks read their base bucket partition
+        new_only = sigs.map_batches(
+            lambda t: t.filter(pc.equal(t["side"], 1))
+            if "side" in t.column_names
+            else _SIG_EMPTY,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        fused = _fused_pairs_from_band_checkpoint(
+            lsh_bands(new_only, cfg, passthrough=("side",)), base_bands, cfg
+        )
+    else:
+        bands = lsh_bands(sigs, cfg, passthrough=("side",))
+        fused = fused_candidate_pairs_incremental(bands, cfg, num_partitions=P)
     pairs = fused.map_batches(
         lambda t: t.filter(pc.equal(t["meta"], 0)).select(["u_id", "v_id"])
         if "meta" in t.column_names

@@ -702,6 +702,21 @@ def fused_candidate_pairs_incremental(
         per-subgroup min NEW ids, and a log row (meta=1: u_id=size,
         v_id=band_id) per capped bucket — skew is never silent.
     """
+    return partitioned_kernel(
+        bands,
+        lambda t: numeric_key_u64(t, _BUCKET_KEY_COLS),
+        incremental_pair_kernel(cfg),
+        num_partitions=num_partitions or 64,
+        empty_result=_FUSED_EMPTY,
+    )
+
+
+def incremental_pair_kernel(cfg: DedupConfig):
+    """The side-aware bucket kernel behind
+    ``fused_candidate_pairs_incremental`` — exposed so the
+    band-checkpoint exchange (pipelines/incremental.py) runs the
+    LITERAL same kernel over disk-resident base partitions + exchanged
+    new rows."""
     cap = cfg.bucket_cap
 
     def kernel(g: pa.Table) -> pa.Table:
@@ -798,13 +813,7 @@ def fused_candidate_pairs_incremental(
             }
         )
 
-    return partitioned_kernel(
-        bands,
-        lambda t: numeric_key_u64(t, _BUCKET_KEY_COLS),
-        kernel,
-        num_partitions=num_partitions or 64,
-        empty_result=_FUSED_EMPTY,
-    )
+    return kernel
 
 
 def minhash_edges(

@@ -235,6 +235,72 @@ def test_incremental_neardup_from_signature_checkpoint(ray_session, tmp_path):
         incremental_neardup(None, new, DEFAULT_CONFIG)
 
 
+def test_incremental_neardup_from_band_checkpoint(ray_session, tmp_path):
+    """Disk-partitioned base band rows (only new rows move through the
+    candidate exchange) must yield verdicts identical to the in-memory
+    path; a checkpoint built under a different signature config must be
+    rejected."""
+    import dataclasses
+
+    import ray.data
+
+    from dedup_ray.pipelines.incremental import (
+        incremental_neardup,
+        write_band_checkpoint,
+    )
+    from dedup_ray.stages.minhash import minhash_signatures_stage
+
+    base = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([f"b{i}" for i in range(20)], pa.string()),
+                "text": pa.array([_text(f"b{i % 5}") for i in range(20)], pa.string()),
+            }
+        )
+    )
+    new = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["n0", "n1", "n2"], pa.string()),
+                "text": pa.array(
+                    [_text("b0") + " tail", _text("x"), _text("x") + " tail"],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    sig_dir = str(tmp_path / "sigs")
+    band_dir = str(tmp_path / "bands_ckpt")
+    minhash_signatures_stage(base, DEFAULT_CONFIG).write_parquet(sig_dir)
+    base_sigs = ray.data.read_parquet(sig_dir)
+    write_band_checkpoint(base_sigs, DEFAULT_CONFIG, band_dir, num_partitions=4)
+
+    plain = incremental_neardup(
+        None, new, DEFAULT_CONFIG, base_signatures=base_sigs
+    ).to_pandas()
+    ckpt = incremental_neardup(
+        None,
+        new,
+        DEFAULT_CONFIG,
+        base_signatures=ray.data.read_parquet(sig_dir),
+        base_bands=band_dir,
+    ).to_pandas()
+    a = sorted(zip(plain["url"], plain["verdict"]))
+    b = sorted(zip(ckpt["url"], ckpt["verdict"]))
+    assert a == b
+    assert dict(b) == {"n0": "dup_of_base", "n1": "new", "n2": "dup_in_batch"}
+
+    other = dataclasses.replace(DEFAULT_CONFIG, seed=DEFAULT_CONFIG.seed + 1)
+    with pytest.raises(Exception, match="different\\s+signature config"):
+        incremental_neardup(
+            None,
+            new,
+            other,
+            base_signatures=ray.data.read_parquet(sig_dir),
+            base_bands=band_dir,
+        ).to_pandas()
+
+
 def test_incremental_incident_gate_fallback_parity(ray_session, monkeypatch):
     """The size-gated incident broadcast (filter signatures map-side
     before the verify exchange) must be bit-identical to the ungated
