@@ -86,6 +86,25 @@ def main(argv: list[str] | None = None) -> int:
         "re-deduped).  Report-only, like every mode",
     )
     p.add_argument(
+        "--incremental-base-signatures",
+        default=None,
+        metavar="PATH",
+        help="incremental mode, production base side: a signature "
+        "table Parquet dir (e.g. the flagship checkpoint's "
+        "signatures/data — minhash_bin accepted) built under the SAME "
+        "shingle/signature config; the base corpus is never "
+        "re-shingled.  Mutually exclusive with --incremental-base",
+    )
+    p.add_argument(
+        "--incremental-base-bands",
+        default=None,
+        metavar="PATH",
+        help="incremental mode: a band checkpoint dir written by "
+        "pipelines.incremental.write_band_checkpoint — only the new "
+        "shard's band rows move through the candidate exchange.  "
+        "Requires --incremental-base-signatures",
+    )
+    p.add_argument(
         "--on-bad-lines",
         choices=("error", "skip"),
         default="error",
@@ -174,9 +193,21 @@ def main(argv: list[str] | None = None) -> int:
                 set_priority, batch_format="pyarrow", zero_copy_batch=True
             )
 
-    if args.incremental_base:
-        if not os.path.exists(args.incremental_base):
-            p.error(f"--incremental-base path does not exist: {args.incremental_base}")
+    if args.incremental_base and args.incremental_base_signatures:
+        p.error(
+            "--incremental-base and --incremental-base-signatures are "
+            "mutually exclusive (pages vs checkpointed-signatures base)"
+        )
+    if args.incremental_base_bands and not args.incremental_base_signatures:
+        p.error("--incremental-base-bands requires --incremental-base-signatures")
+    if args.incremental_base or args.incremental_base_signatures:
+        for flag, path in (
+            ("--incremental-base", args.incremental_base),
+            ("--incremental-base-signatures", args.incremental_base_signatures),
+            ("--incremental-base-bands", args.incremental_base_bands),
+        ):
+            if path and not os.path.exists(path):
+                p.error(f"{flag} path does not exist: {path}")
         from dedup_ray.pipelines.incremental import incremental_neardup
         from dedup_ray.sources.pages import read_pages_parquet
         from dedup_ray.stages.extract import extract_text
@@ -186,9 +217,20 @@ def main(argv: list[str] | None = None) -> int:
                 return pages_loader(path)
             return extract_text(read_pages_parquet(path))
 
-        verdicts = incremental_neardup(
-            _load(args.incremental_base), _load(args.input), cfg
-        )
+        if args.incremental_base_signatures:
+            verdicts = incremental_neardup(
+                None,
+                _load(args.input),
+                cfg,
+                base_signatures=ray.data.read_parquet(
+                    args.incremental_base_signatures
+                ),
+                base_bands=args.incremental_base_bands,
+            )
+        else:
+            verdicts = incremental_neardup(
+                _load(args.incremental_base), _load(args.input), cfg
+            )
         out_dir = f"{args.out}/incremental_verdicts"
         os.makedirs(args.out, exist_ok=True)
         write_assignments_parquet(verdicts, out_dir, partition_cols=["verdict"])
@@ -210,7 +252,7 @@ def main(argv: list[str] | None = None) -> int:
         summary = {
             "mode": "incremental",
             "config_hash": cfg.config_hash(),
-            "base": args.incremental_base,
+            "base": args.incremental_base or args.incremental_base_signatures,
             "n_new_pages": sum(counts.values()),
             "verdicts": {
                 k: counts.get(k, 0) for k in ("new", "dup_of_base", "dup_in_batch")

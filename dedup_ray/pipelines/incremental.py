@@ -97,6 +97,34 @@ def _tag_side(side: int):
     return tag
 
 
+def _ensure_minhash_col(t: pa.Table, num_perms: int) -> pa.Table:
+    """Accept signature tables in either on-disk shape: ``minhash``
+    (fixed_size_list or plain list) or the flagship checkpoint's
+    ``minhash_bin`` (signatures stored as binary because
+    fixed_size_list doesn't round-trip write_parquet cleanly —
+    flagship.py's sig_to_bin)."""
+    if "minhash" in t.column_names:
+        mh = t["minhash"].combine_chunks()
+        if not pa.types.is_fixed_size_list(mh.type):
+            mh = pa.FixedSizeListArray.from_arrays(
+                pc.cast(mh.flatten(), pa.uint64()), num_perms
+            )
+            t = t.drop_columns(["minhash"]).append_column("minhash", mh)
+        return t
+    if "minhash_bin" in t.column_names:
+        from dedup_ray.util import binary_to_u64_matrix
+
+        mat = binary_to_u64_matrix(t["minhash_bin"], num_perms)
+        mh = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1), pa.uint64()), num_perms
+        )
+        return t.drop_columns(["minhash_bin"]).append_column("minhash", mh)
+    raise ValueError(
+        "signature table has neither 'minhash' nor 'minhash_bin' "
+        f"(columns: {t.column_names})"
+    )
+
+
 def write_band_checkpoint(
     base_signatures: ray.data.Dataset,
     cfg: DedupConfig,
@@ -120,7 +148,26 @@ def write_band_checkpoint(
     from dedup_ray.stages.lsh import _BUCKET_KEY_COLS, lsh_bands
 
     P = num_partitions or cfg.num_partitions
-    bands = lsh_bands(base_signatures, cfg)
+
+    def ensure_mh(t: pa.Table) -> pa.Table:
+        if "url" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "n_shingles": pa.array([], pa.int64()),
+                    "minhash": pa.array(
+                        [], pa.list_(pa.uint64(), cfg.num_perms)
+                    ),
+                }
+            )
+        return _ensure_minhash_col(t, cfg.num_perms)
+
+    bands = lsh_bands(
+        base_signatures.map_batches(
+            ensure_mh, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        cfg,
+    )
 
     _BANDS_EMPTY = pa.table(
         {
@@ -343,19 +390,14 @@ def incremental_neardup(
         def norm(t: pa.Table) -> pa.Table:
             if "url" not in t.column_names or len(t) == 0:
                 return _SIG_EMPTY
-            mh = t["minhash"].combine_chunks()
-            if not pa.types.is_fixed_size_list(mh.type):
-                # a parquet checkpoint round-trip can degrade the
-                # fixed_size_list to a plain list; re-fix it so the
-                # branch schemas agree at the union
-                mh = pa.FixedSizeListArray.from_arrays(
-                    pc.cast(mh.flatten(), pa.uint64()), cfg.num_perms
-                )
+            # accepts minhash (fixed/plain list) or the flagship
+            # checkpoint's minhash_bin binary encoding
+            t = _ensure_minhash_col(t, cfg.num_perms)
             return pa.table(
                 {
                     "url": t["url"],
                     "n_shingles": pc.cast(t["n_shingles"], pa.int64()),
-                    "minhash": mh,
+                    "minhash": t["minhash"],
                     "side": pa.array(np.full(len(t), side, dtype=np.int32)),
                 }
             )

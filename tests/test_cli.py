@@ -245,3 +245,90 @@ def test_cli_incremental_mode(tmp_path):
         "shard/a-fresh": "new",
         "shard/b-fresh-copy": "dup_in_batch",
     }
+
+
+@pytest.mark.slow
+def test_cli_incremental_from_flagship_checkpoint(ray_session, tmp_path):
+    """Production recipe: a flagship run's signatures/data checkpoint
+    (minhash_bin encoding) + a band checkpoint feed the incremental
+    CLI directly — the base corpus is never re-shingled or re-banded."""
+    import pyarrow as pa
+
+    base_dir = tmp_path / "base"
+    new_dir = tmp_path / "new"
+    base_dir.mkdir()
+    new_dir.mkdir()
+    pages, _ = generate_pages(80, seed=4)
+    pq.write_table(pages, str(base_dir / "pages.parquet"))
+
+    base_out = tmp_path / "base_run"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "dedup_ray",
+            "--input", str(base_dir),
+            "--out", str(base_out),
+            "--cpus", "4",
+            "--no-substring",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    sig_data = base_out / "signatures" / "data"
+    assert sig_data.is_dir()
+
+    # band checkpoint from the flagship's binary-encoded signatures
+    # (uses the pytest session's Ray — library code owns no session)
+    import ray.data
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.pipelines.incremental import write_band_checkpoint
+
+    band_dir = tmp_path / "band_ckpt"
+    write_band_checkpoint(
+        ray.data.read_parquet(str(sig_data)), DedupConfig(), str(band_dir),
+        num_partitions=8,
+    )
+
+    base_texts = pages["text"].to_pylist()
+    long_base = next(t for t in base_texts if t and len(t.split()) > 60)
+    fresh = " ".join(f"fresh{i}" for i in range(120))
+    ts = pages["warc_ts"][0]
+    new_rows = pa.table(
+        {
+            "url": pa.array(
+                ["shard/rewrite", "shard/a-fresh", "shard/b-fresh-copy"],
+                pa.string(),
+            ),
+            "warc_ts": pa.array([ts.as_py()] * 3, pa.timestamp("us")),
+            "html": pa.array([None] * 3, pa.binary()),
+            "text": pa.array(
+                [long_base + " light rewrite", fresh, fresh + " tail"],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * 3, pa.string()),
+        }
+    )
+    pq.write_table(new_rows, str(new_dir / "pages.parquet"))
+    out = tmp_path / "out"
+
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "dedup_ray",
+            "--input", str(new_dir),
+            "--out", str(out),
+            "--incremental-base-signatures", str(sig_data),
+            "--incremental-base-bands", str(band_dir),
+            "--cpus", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    s = json.loads(proc.stdout)
+    assert s["verdicts"] == {"new": 1, "dup_of_base": 1, "dup_in_batch": 1}
+    vt = pq.read_table(s["output"])
+    got = dict(zip(vt["url"].to_pylist(), vt["verdict"].to_pylist()))
+    assert got == {
+        "shard/rewrite": "dup_of_base",
+        "shard/a-fresh": "new",
+        "shard/b-fresh-copy": "dup_in_batch",
+    }
