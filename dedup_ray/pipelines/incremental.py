@@ -347,11 +347,22 @@ def incremental_neardup(
     page.
 
     ``base_signatures`` is the PRODUCTION base side: pass the
-    flagship's checkpointed signature table (``signatures/`` Parquet —
-    ``url``, ``n_shingles``, ``minhash`` at minimum; must have been
-    built with the SAME shingle/signature config) and the base corpus
-    is never re-shingled — only the new shard is hashed.  Mutually
-    exclusive with ``base_pages``.
+    flagship's checkpointed signature table (``signatures/data``
+    Parquet — ``url``, ``n_shingles`` and ``minhash`` OR the
+    checkpoint's ``minhash_bin`` encoding; must have been built with
+    the SAME shingle/signature config) and the base corpus is never
+    re-shingled — only the new shard is hashed.  Mutually exclusive
+    with ``base_pages``.  ``base_bands`` additionally points at a
+    ``write_band_checkpoint`` directory so only the new shard's band
+    rows move through the candidate exchange (reduce tasks read their
+    base bucket partition from disk; config-mismatched checkpoints are
+    rejected via the manifest).
+
+    Memory note: the normalized signature union is materialized once
+    (each verdict stage re-reads it); past plasma capacity Ray spills
+    it to disk — the refinement at extreme corpus scale is a slim
+    (url, side) split for the attach stage so the ~1 KB/doc payload
+    stays lazy, at the cost of a second base read.
     """
     from dedup_ray.core import hash_strings_u64, partitioned_kernel, segments
     from dedup_ray.stages.lsh import (
