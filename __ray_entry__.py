@@ -127,6 +127,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from dedup_ray.pipelines import media_queries as mq
 
     q.update(mq.QUERIES)
+    from dedup_ray.functions import decontam
+
+    # benchmark decontamination (n-gram overlap vs an eval set) —
+    # rows-only + content anchor + crafted pytest (not SQL-expressible)
+    q["decontaminate_docs"] = decontam.decontaminate_docs
     return q
 
 

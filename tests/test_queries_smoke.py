@@ -31,6 +31,8 @@ EXPECT_COLS = {
     # tests/test_embedding_dedup_sources.py
     "embedding_dedup_ann": {"vec_id", "cluster_id"},
     "embedding_dedup_ivf": {"vec_id", "cluster_id"},
+    # in depth: tests/test_decontam.py (planted n-gram overlap)
+    "decontaminate_docs": {"url", "contaminated", "n_hits", "n_shingles"},
     "image_decode_stats": {"url", "width", "height", "channels", "lum_mean"},
     "audio_decode_stats": {"url", "sample_rate", "n_samples", "spectral_centroid"},
 }
